@@ -1,0 +1,457 @@
+"""Flash attention for TPU (Pallas), with XLA fallback.
+
+This replaces every attention substrate the reference leans on:
+  * CUDA flash-attn (`/root/reference/models/model_new/base/transformer.py:6,56`,
+    `models/model_titok/base/transformer.py:7,61`)
+  * torch fused SDPA (`models/larp_ar.py:205-209`, `models/gptc.py:67-69`, timm blocks)
+
+Design notes (TPU-first):
+  * One fused kernel, online-softmax, O(S) memory; logits accumulated in fp32
+    on the MXU regardless of input dtype (bf16 inputs recommended).
+  * Full K/V for a (batch, head) pair live in VMEM (seq<=8k, head_dim<=128
+    comfortably fits); the grid tiles only the query dimension, so there is no
+    K-block re-streaming from HBM.
+  * `segment_ids` replaces the CUDA varlen `cu_seqlens` path: packed sequences
+    use per-token integer ids; cross-segment pairs are masked. Padding uses id<0.
+  * Causal masking is positional (global indices), composed with segment masks.
+  * Training: custom VJP with Pallas dq and dkv kernels (flash backward).
+
+Internal layout notes: segment ids are carried as [B, 1, S] and LSE/delta as
+[B, H, 1, S] so every Pallas block ends in an (1|8, 128k) tile-aligned 2-D tail.
+
+Public entry: `attention(q, k, v, *, causal, segment_ids, sm_scale, use_pallas)`
+with tensors shaped [B, S, H, D] (BSHD, the layout XLA prefers on TPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
+    *, sm_scale: float, causal: bool, block_k: int, kv_len: int, q_offset: int,
+):
+    """Grid: (B, H, num_q_blocks). q_ref: [block_q, D]; k/v_ref: [Sk_p, D]."""
+    block_q, head_dim = q_ref.shape
+    qi = pl.program_id(2)
+
+    q = q_ref[...].astype(jnp.float32)
+    num_kb = pl.cdiv(kv_len, block_k)
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    ) + q_offset
+    qseg = qseg_ref[...].reshape(block_q, 1)
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [block_q, block_k]
+
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, q_pos >= k_pos)
+        kseg = kseg_ref[:, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+        mask = jnp.logical_and(mask, qseg == kseg)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    if causal:
+        # Only iterate k blocks that intersect the causal lower triangle.
+        max_kpos = (qi + 1) * block_q + q_offset
+        num_kb_eff = jnp.minimum(num_kb, pl.cdiv(max_kpos, block_k))
+    else:
+        num_kb_eff = num_kb
+    m, l, acc = jax.lax.fori_loop(0, num_kb_eff, body, (m0, l0, acc0))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[...] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[...] = (m + jnp.log(l_safe)).reshape(1, block_q)
+
+
+def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k):
+    """q: [B,H,Sq,D], k/v: [B,H,Sk,D], segs: [B,1,S]. Returns out, lse[B,H,1,Sq_p]."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    Sq_p = _round_up(Sq, block_q)
+    Sk_p = _round_up(Sk, block_k)
+    q_offset = Sk - Sq  # causal alignment: query i attends to keys <= i + offset
+
+    if Sq_p != Sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
+    if Sk_p != Sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Sk_p - Sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Sk_p - Sk), (0, 0)))
+    q_seg = _pad_seg(q_seg, Sq_p, -1)
+    k_seg = _pad_seg(k_seg, Sk_p, -2)
+
+    grid = (B, H, Sq_p // block_q)
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, causal=causal,
+        block_k=block_k, kv_len=Sk, q_offset=q_offset,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda b, h, i: (b, 0, i)),
+            pl.BlockSpec((None, 1, Sk_p), lambda b, h, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b, h, i: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, Sq_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, q_seg, k_seg)
+    return out[:, :, :Sq], lse
+
+
+def _pad_seg(seg, S_p, fill):
+    S = seg.shape[-1]
+    if S_p != S:
+        seg = jnp.pad(seg, ((0, 0), (0, 0), (0, S_p - S)), constant_values=fill)
+    return seg
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, sm_scale: float, causal: bool, block_k: int, kv_len: int, q_offset: int,
+):
+    block_q, head_dim = q_ref.shape
+    qi = pl.program_id(2)
+    q = q_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...].reshape(block_q, 1)
+    delta = delta_ref[...].reshape(block_q, 1)
+    qseg = qseg_ref[...].reshape(block_q, 1)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    ) + q_offset
+    num_kb = pl.cdiv(kv_len, block_k)
+
+    def body(kb, dq):
+        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, q_pos >= k_pos)
+        kseg = kseg_ref[:, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+        mask = jnp.logical_and(mask, qseg == kseg)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        max_kpos = (qi + 1) * block_q + q_offset
+        num_kb_eff = jnp.minimum(num_kb, pl.cdiv(max_kpos, block_k))
+    else:
+        num_kb_eff = num_kb
+    dq = jax.lax.fori_loop(
+        0, num_kb_eff, body, jnp.zeros((block_q, head_dim), jnp.float32)
+    )
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    *, sm_scale: float, causal: bool, block_q: int, q_len: int, q_offset: int,
+):
+    block_k, head_dim = k_ref.shape
+    ki = pl.program_id(2)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    kseg = kseg_ref[...].reshape(1, block_k)
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    num_qb = pl.cdiv(q_len, block_q)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[:, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+        delta = delta_ref[:, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        ) + q_offset
+        mask = q_pos - q_offset < q_len
+        if causal:
+            mask = jnp.logical_and(mask, q_pos >= k_pos)
+        qseg = qseg_ref[:, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+        mask = jnp.logical_and(mask, qseg == kseg)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    if causal:
+        # q blocks strictly before this k block's causal frontier contribute 0.
+        min_qpos = ki * block_k - q_offset
+        start_qb = jnp.maximum(0, min_qpos // block_q)
+    else:
+        start_qb = 0
+    dk, dv = jax.lax.fori_loop(
+        start_qb, num_qb,
+        body,
+        (
+            jnp.zeros((block_k, head_dim), jnp.float32),
+            jnp.zeros((block_k, head_dim), jnp.float32),
+        ),
+    )
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(res, g, sm_scale, causal, block_q, block_k):
+    q, k, v, q_seg, k_seg, out, lse = res
+    do = g
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    q_offset = Sk - Sq
+
+    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    delta = delta[:, :, None, :]  # [B, H, 1, Sq]
+
+    Sq_p = _round_up(Sq, max(block_q, block_k))
+    Sk_p = _round_up(Sk, max(block_q, block_k))
+    pad4 = lambda x, S: jnp.pad(x, ((0, 0), (0, 0), (0, S - x.shape[2]), (0, 0)))
+    padl = lambda x, S: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, S - x.shape[3])))
+    qp, dop = pad4(q, Sq_p), pad4(do, Sq_p)
+    kp, vp = pad4(k, Sk_p), pad4(v, Sk_p)
+    lsep = padl(lse[:, :, :, :Sq], Sq_p)
+    deltap = padl(delta, Sq_p)
+    qsegp = _pad_seg(q_seg, Sq_p, -1)
+    ksegp = _pad_seg(k_seg, Sk_p, -2)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
+        block_k=block_k, kv_len=Sk, q_offset=q_offset,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(B, H, Sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda b, h, i: (b, 0, i)),
+            pl.BlockSpec((None, 1, Sk_p), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((None, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b, h, i: (b, h, 0, i)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b, h, i: (b, h, 0, i)),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, block_q, D), lambda b, h, i: (b, h, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, qsegp, ksegp, dop, lsep, deltap)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+        block_q=block_q, q_len=Sq, q_offset=q_offset,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B, H, Sk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((None, None, Sq_p, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, block_k, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_k, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, 1, Sq_p), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((None, 1, block_k), lambda b, h, i: (b, 0, i)),
+            pl.BlockSpec((None, None, Sq_p, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, 1, Sq_p), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, 1, Sq_p), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_k, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_k, D), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sk_p, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Sk_p, D), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, qsegp, ksegp, dop, lsep, deltap)
+
+    return dq[:, :, :Sq], dk[:, :, :Sk], dv[:, :, :Sk], None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention_bhsd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k)
+    return out
+
+
+def _flash_attention_bhsd_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k)
+    return out, (q, k, v, q_seg, k_seg, out, lse)
+
+
+def _flash_attention_bhsd_bwd(sm_scale, causal, block_q, block_k, res, g):
+    return _flash_bwd(res, g, sm_scale, causal, block_q, block_k)
+
+
+_flash_attention_bhsd.defvjp(_flash_attention_bhsd_fwd, _flash_attention_bhsd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def xla_attention(
+    q, k, v,
+    causal: bool = False,
+    segment_ids=None,
+    kv_segment_ids=None,
+    sm_scale: Optional[float] = None,
+):
+    """Reference/fallback attention in pure XLA. q,k,v: [B, S, H, D]."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    scale = sm_scale if sm_scale is not None else D ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    mask = jnp.ones((B, 1, Sq, Sk), dtype=bool)
+    if causal:
+        q_pos = jnp.arange(Sq)[:, None] + (Sk - Sq)
+        k_pos = jnp.arange(Sk)[None, :]
+        mask = jnp.logical_and(mask, (q_pos >= k_pos)[None, None])
+    if segment_ids is not None:
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        seg_mask = segment_ids[:, None, :, None] == kv_seg[:, None, None, :]
+        mask = jnp.logical_and(mask, seg_mask)
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def attention(
+    q, k, v,
+    causal: bool = False,
+    segment_ids=None,
+    kv_segment_ids=None,
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    use_pallas: Optional[bool] = None,
+):
+    """Multi-head attention. q: [B,Sq,H,D]; k,v: [B,Sk,H,D]. Returns [B,Sq,H,D].
+
+    `use_pallas=None` auto-selects: Pallas on TPU, XLA elsewhere.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return xla_attention(
+            q, k, v, causal=causal, segment_ids=segment_ids,
+            kv_segment_ids=kv_segment_ids, sm_scale=sm_scale,
+        )
+
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    scale = sm_scale if sm_scale is not None else D ** -0.5
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Sk, 128))
+
+    if segment_ids is None:
+        q_seg = jnp.zeros((B, 1, Sq), dtype=jnp.int32)
+        k_seg = jnp.zeros((B, 1, Sk), dtype=jnp.int32)
+    else:
+        q_seg = segment_ids.astype(jnp.int32)[:, None, :]
+        k_seg = (
+            kv_segment_ids.astype(jnp.int32)[:, None, :]
+            if kv_segment_ids is not None
+            else q_seg
+        )
+
+    q_t = jnp.swapaxes(q, 1, 2)  # BHSD
+    k_t = jnp.swapaxes(k, 1, 2)
+    v_t = jnp.swapaxes(v, 1, 2)
+    out = _flash_attention_bhsd(
+        q_t, k_t, v_t, q_seg, k_seg, scale, causal, block_q, block_k
+    )
+    return jnp.swapaxes(out, 1, 2)
