@@ -1,0 +1,394 @@
+"""LARP_AR: llama-style causal transformer prior over tokenizer codes (Flax).
+
+Re-expresses `/root/reference/models/larp_ar.py` TPU-first:
+  * ModelArgs dataclass (larp_ar.py:33-64); token+class embeddings with CFG
+    class dropout (larp_ar.py:246-257); learned or fixed sin-cos absolute PE
+    (larp_ar.py:269-276); RMSNorm -> GQA attention (fused wqkv) -> SwiGLU
+    FFN (2/3*4d rounded to multiple_of) blocks with DropPath
+    (larp_ar.py:127-230); zero-init output head (larp_ar.py:285-286).
+  * The torch `KVCache` buffer mutated via `input_pos` indexing
+    (larp_ar.py:146-161) becomes an explicit functional cache pytree
+    {'k','v': [n_layer, B, S, n_kv_head, head_dim]} updated with
+    `lax.dynamic_update_slice` — donated through the compiled decode loop in
+    `generation.generate`, so updates are in-place in XLA.
+  * Three forward modes (larp_ar.py:334-395): teacher-forcing training
+    (`__call__`, Pallas causal flash attention), `prefill`, and single-token
+    `decode_step` (cache-read attention; bandwidth-bound matvec).
+  * Size zoo llama-abs-S..XXXL (larp_ar.py:440-469).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import sincos
+from ..ops.attention import attention
+from ..registry import models
+from .embed import LabelEmbedder
+
+
+def find_multiple(n: int, k: int) -> int:
+    return n if n % k == 0 else n + k - (n % k)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelArgs:
+    dim: int = 4096
+    n_layer: int = 32
+    n_head: int = 32
+    n_kv_head: Optional[int] = None
+    multiple_of: int = 256
+    ffn_dim_multiplier: Optional[float] = None
+    norm_eps: float = 1e-5
+    initializer_range: float = 0.02
+
+    token_dropout_p: float = 0.1
+    attn_dropout_p: float = 0.0
+    resid_dropout_p: float = 0.1
+    ffn_dropout_p: float = 0.1
+    drop_path_rate: float = 0.0
+
+    num_classes: int = 101
+    class_dropout_prob: float = 0.1
+    model_type: str = "class_cond"
+
+    vocab_size: int = 8192
+    cls_token_num: int = 1
+    max_seq_len: int = 1024
+    use_fixed_pe: bool = False
+    frame_prediction: bool = False
+
+
+def _normal_init(std):
+    return nn.initializers.normal(std)
+
+
+class DropPath(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return x * mask / keep
+
+
+class FeedForward(nn.Module):
+    config: ModelArgs
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        hidden = int(2 * (4 * cfg.dim) / 3)
+        if cfg.ffn_dim_multiplier is not None:
+            hidden = int(cfg.ffn_dim_multiplier * hidden)
+        hidden = find_multiple(hidden, cfg.multiple_of)
+        init = _normal_init(cfg.initializer_range)
+        w1 = nn.Dense(hidden, use_bias=False, kernel_init=init, name="w1")(x)
+        w3 = nn.Dense(hidden, use_bias=False, kernel_init=init, name="w3")(x)
+        out = nn.Dense(cfg.dim, use_bias=False, kernel_init=init, name="w2")(
+            nn.silu(w1) * w3
+        )
+        return nn.Dropout(cfg.ffn_dropout_p, deterministic=not train)(out)
+
+
+class Attention(nn.Module):
+    config: ModelArgs
+
+    def setup(self):
+        cfg = self.config
+        self.head_dim = cfg.dim // cfg.n_head
+        self.n_head = cfg.n_head
+        self.n_kv_head = cfg.n_kv_head or cfg.n_head
+        total = (self.n_head + 2 * self.n_kv_head) * self.head_dim
+        self.wqkv = nn.Dense(
+            total, use_bias=False,
+            kernel_init=_normal_init(cfg.initializer_range), name="wqkv",
+        )
+        self.wo = nn.Dense(
+            cfg.dim, use_bias=False,
+            kernel_init=_normal_init(cfg.initializer_range), name="wo",
+        )
+        self.resid_dropout = nn.Dropout(cfg.resid_dropout_p)
+
+    def _split_qkv(self, x):
+        B, S, _ = x.shape
+        kv_size = self.n_kv_head * self.head_dim
+        qkv = self.wqkv(x)
+        q = qkv[..., : self.n_head * self.head_dim]
+        k = qkv[..., self.n_head * self.head_dim : self.n_head * self.head_dim + kv_size]
+        v = qkv[..., self.n_head * self.head_dim + kv_size :]
+        q = q.reshape(B, S, self.n_head, self.head_dim)
+        k = k.reshape(B, S, self.n_kv_head, self.head_dim)
+        v = v.reshape(B, S, self.n_kv_head, self.head_dim)
+        return q, k, v
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """Teacher-forcing path: full causal self-attention."""
+        B, S, _ = x.shape
+        q, k, v = self._split_qkv(x)
+        if self.n_kv_head != self.n_head:
+            rep = self.n_head // self.n_kv_head
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        out = attention(q, k, v, causal=True)
+        out = out.reshape(B, S, -1)
+        out = self.wo(out)
+        return self.resid_dropout(out, deterministic=not train)
+
+    def prefill(self, x, k_cache, v_cache):
+        """Process S prompt tokens; returns (out, new_k, new_v) cache slices."""
+        B, S, _ = x.shape
+        q, k, v = self._split_qkv(x)
+        new_k = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
+        )
+        if self.n_kv_head != self.n_head:
+            rep = self.n_head // self.n_kv_head
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        out = attention(q, k, v, causal=True).reshape(B, S, -1)
+        return self.wo(out), new_k, new_v
+
+    def decode_step(self, x, input_pos, k_cache, v_cache):
+        """One-token decode reading the cache. x: [B,1,dim]; pos scalar."""
+        B = x.shape[0]
+        q, k, v = self._split_qkv(x)  # [B,1,H,D], [B,1,Hkv,D]
+        pos = input_pos.astype(jnp.int32)
+        new_k = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0)
+        )
+        S = new_k.shape[1]
+        rep = self.n_head // self.n_kv_head
+        qg = q.reshape(B, self.n_kv_head, rep, self.head_dim)
+        scores = jnp.einsum(
+            "bhgd,bshd->bhgs", qg.astype(jnp.float32),
+            new_k.astype(jnp.float32),
+        ) * (self.head_dim ** -0.5)
+        valid = jnp.arange(S)[None, None, None, :] <= pos
+        scores = jnp.where(valid, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhgs,bshd->bhgd", probs, new_v.astype(jnp.float32))
+        out = out.reshape(B, 1, self.n_head * self.head_dim).astype(x.dtype)
+        return self.wo(out), new_k, new_v
+
+
+class TransformerBlock(nn.Module):
+    config: ModelArgs
+    drop_path_rate: float = 0.0
+
+    def setup(self):
+        cfg = self.config
+        self.attention = Attention(cfg, name="attention")
+        self.feed_forward = FeedForward(cfg, name="feed_forward")
+        self.attention_norm = nn.RMSNorm(epsilon=cfg.norm_eps, name="attention_norm")
+        self.ffn_norm = nn.RMSNorm(epsilon=cfg.norm_eps, name="ffn_norm")
+        self.drop_path = DropPath(self.drop_path_rate, name="drop_path")
+
+    def __call__(self, x, train: bool = False):
+        h = x + self.drop_path(
+            self.attention(self.attention_norm(x), train=train), train
+        )
+        return h + self.drop_path(
+            self.feed_forward(self.ffn_norm(h), train=train), train
+        )
+
+    def prefill(self, x, k_cache, v_cache):
+        a, nk, nv = self.attention.prefill(self.attention_norm(x), k_cache, v_cache)
+        h = x + a
+        return h + self.feed_forward(self.ffn_norm(h)), nk, nv
+
+    def decode_step(self, x, input_pos, k_cache, v_cache):
+        a, nk, nv = self.attention.decode_step(
+            self.attention_norm(x), input_pos, k_cache, v_cache
+        )
+        h = x + a
+        return h + self.feed_forward(self.ffn_norm(h)), nk, nv
+
+
+@models.register("larp_ar")
+class LARP_AR(nn.Module):
+    """AR prior. See module docstring. Video codes vocab + optional sep token."""
+
+    config: ModelArgs
+
+    @property
+    def cls_token_num(self) -> int:
+        return self.config.cls_token_num
+
+    @property
+    def max_seq_length(self) -> int:
+        return self.config.max_seq_len
+
+    @property
+    def frame_prediction(self) -> bool:
+        return self.config.frame_prediction
+
+    @property
+    def model_type(self) -> str:
+        return self.config.model_type
+
+    @property
+    def num_classes(self) -> int:
+        return self.config.num_classes
+
+    def setup(self):
+        cfg = self.config
+        if cfg.frame_prediction:
+            self.cls_embedding = None
+            n_tok = cfg.vocab_size + 1  # + sep token
+        else:
+            assert cfg.model_type == "class_cond", "please check model type"
+            self.cls_embedding = LabelEmbedder(
+                cfg.num_classes, cfg.dim, cfg.class_dropout_prob,
+                name="cls_embedding",
+            )
+            n_tok = cfg.vocab_size
+        self.tok_embeddings = nn.Embed(
+            n_tok, cfg.dim,
+            embedding_init=_normal_init(cfg.initializer_range),
+            name="tok_embeddings",
+        )
+        self.tok_dropout = nn.Dropout(cfg.token_dropout_p)
+
+        dpr = np.linspace(0, cfg.drop_path_rate, cfg.n_layer)
+        self.layers = [
+            TransformerBlock(cfg, drop_path_rate=float(dpr[i]), name=f"layers_{i}")
+            for i in range(cfg.n_layer)
+        ]
+        self.norm = nn.RMSNorm(epsilon=cfg.norm_eps, name="norm")
+        self.output = nn.Dense(
+            cfg.vocab_size, use_bias=False,
+            kernel_init=nn.initializers.zeros, name="output",
+        )
+
+        pe_len = cfg.max_seq_len + cfg.cls_token_num - 1
+        if cfg.use_fixed_pe:
+            self.abs_pe = jnp.asarray(
+                sincos.sincos_1d(cfg.dim, np.arange(pe_len))
+            ).reshape(1, pe_len, cfg.dim)
+        else:
+            self.abs_pe = self.param(
+                "abs_pe", _normal_init(0.02), (1, pe_len, cfg.dim)
+            )
+
+    def _cond_embeddings(self, cond_idx, train):
+        if self.frame_prediction:
+            assert cond_idx.ndim == 2
+            return self.tok_embeddings(cond_idx)
+        emb = self.cls_embedding(cond_idx, train=train)
+        return emb[:, None, :][:, : self.cls_token_num]
+
+    def __call__(
+        self,
+        idx: Optional[jax.Array],
+        cond_idx: Optional[jax.Array],
+        targets: Optional[jax.Array] = None,
+        valid: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Teacher-forcing forward (training / naive inference)."""
+        cond_embeddings = self._cond_embeddings(cond_idx, train)
+        token_embeddings = self.tok_embeddings(idx)
+        h = jnp.concatenate([cond_embeddings, token_embeddings], axis=1)
+        h = self.tok_dropout(h, deterministic=not train)
+        h = h + self.abs_pe[:, : h.shape[1]].astype(h.dtype)
+
+        for layer in self.layers:
+            h = layer(h, train=train)
+        h = self.norm(h)
+        logits = self.output(h)
+        logits = logits[:, self.cls_token_num - 1 :]
+
+        loss = None
+        if targets is not None:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(
+                logp.reshape(-1, logp.shape[-1]),
+                targets.reshape(-1, 1), axis=-1,
+            ).squeeze(-1)
+            if valid is not None:
+                v = jnp.repeat(valid[:, None], targets.shape[1], axis=1).reshape(-1)
+                loss = jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1)
+            else:
+                loss = jnp.mean(nll)
+        return logits, loss
+
+    # ------------------------------------------------------------ sampling
+
+    def init_cache(self, batch_size: int, max_seq_length: int, dtype=jnp.float32):
+        cfg = self.config
+        S = find_multiple(max_seq_length, 8)
+        n_kv = cfg.n_kv_head or cfg.n_head
+        head_dim = cfg.dim // cfg.n_head
+        shape = (cfg.n_layer, batch_size, S, n_kv, head_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def prefill(self, cond_idx: jax.Array, cache: Dict[str, jax.Array]):
+        """Run the conditioning prefix; fill cache; return last-pos logits."""
+        h = self._cond_embeddings(cond_idx, train=False)
+        T = h.shape[1]
+        h = h + self.abs_pe[:, :T].astype(h.dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            h, nk, nv = layer.prefill(h, cache["k"][i], cache["v"][i])
+            new_k.append(nk)
+            new_v.append(nv)
+        h = self.norm(h)
+        logits = self.output(h[:, -1:])
+        return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+    def decode_step(
+        self, idx: jax.Array, input_pos: jax.Array, cache: Dict[str, jax.Array]
+    ):
+        """idx: [B, 1] current token; input_pos: scalar absolute position."""
+        h = self.tok_embeddings(idx)
+        pe = jax.lax.dynamic_slice(
+            self.abs_pe, (0, input_pos.astype(jnp.int32), 0),
+            (1, 1, self.config.dim),
+        )
+        h = h + pe.astype(h.dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            h, nk, nv = layer.decode_step(h, input_pos, cache["k"][i], cache["v"][i])
+            new_k.append(nk)
+            new_v.append(nv)
+        h = self.norm(h)
+        logits = self.output(h)
+        return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+
+# ---------------------------------------------------------------- size zoo
+
+
+def _zoo(n_layer, n_head, dim):
+    def ctor(**kwargs):
+        return LARP_AR(ModelArgs(n_layer=n_layer, n_head=n_head, dim=dim, **kwargs))
+
+    return ctor
+
+
+larp_ar_models = {
+    "llama-abs-S": _zoo(12, 6, 384),     # 21.7M
+    "llama-abs-B": _zoo(12, 12, 768),    # 111M
+    "llama-abs-L": _zoo(24, 16, 1024),   # 343M
+    "llama-abs-LP": _zoo(30, 20, 1280),  # 632M
+    "llama-abs-XL": _zoo(36, 20, 1280),  # 775M
+    "llama-abs-XXL": _zoo(48, 24, 1536), # 1.4B
+    "llama-abs-XXXL": _zoo(48, 40, 2560),# 3.9B
+}
+models.update(larp_ar_models)
