@@ -8,3 +8,12 @@ from . import larp_tokenizer  # noqa: F401
 from .larp_tokenizer import LARPTokenizer  # noqa: F401
 from .bottleneck import Bottleneck, SimpleVectorQuantizer  # noqa: F401
 from .fsq import FSQ, LatticeVectorQuantizer  # noqa: F401
+from . import larp_ar  # noqa: F401
+from . import gptc  # noqa: F401
+from . import loss  # noqa: F401
+from . import lpips  # noqa: F401
+
+from .larp_ar import LARP_AR, ModelArgs  # noqa: F401
+from .gptc import GPTC, GPTCConfig  # noqa: F401
+from .loss import VQLPIPSWithDiscriminator, TransformerDiscriminator  # noqa: F401
+from .lpips import LPIPS  # noqa: F401

@@ -1,0 +1,6 @@
+from ..registry import trainers
+from . import base_trainer  # noqa: F401
+from . import tokenizer_trainer  # noqa: F401
+
+from .base_trainer import BaseTrainer  # noqa: F401
+from .tokenizer_trainer import LARPTokenizerTrainer  # noqa: F401

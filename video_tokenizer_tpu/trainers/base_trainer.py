@@ -1,0 +1,346 @@
+"""BaseTrainer: SPMD epoch-loop runtime.
+
+Re-expresses `/root/reference/trainers/base_trainer.py` TPU-first:
+  * mp.spawn + NCCL DDP (base_trainer.py:128-131, train.py:162-169) collapse
+    into ONE python process per host driving a jitted SPMD `train_step` over a
+    `jax.sharding.Mesh`; gradient averaging is implicit in the partitioned
+    program (no DDP hooks, no all_reduce calls).
+  * AMP/GradScaler (base_trainer.py:83-95,429-438) -> bf16 compute policy;
+    no loss scaling needed on TPU.
+  * cosine/step LR with warmup (base_trainer.py:546-572) -> an optax-style
+    schedule closure evaluated inside the compiled step. Note: the reference's
+    'step' lr_type never applies a multiplier (lr_mult_epochwise stays 0 and
+    the stepwise function returns before apply) — i.e. constant LR; we match.
+  * resume from `<save_dir>/epoch-last` incl. optimizer+EMA+RNG key via one
+    Orbax pytree (base_trainer.py:236-266,783-797) — per-rank RNG states are
+    unnecessary because the PRNG key lives in the replicated train state.
+  * distributed scalar averaging (base_trainer.py:582-591) is a jnp.mean
+    inside jit; host-side Averagers aggregate per-epoch logs.
+"""
+from __future__ import annotations
+
+import csv as _csv
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import registry
+from ..config import ConfigDict, save_config
+from ..data.loader import make_loader
+from ..parallel import create_mesh, shard_batch
+from ..registry import trainers
+from ..utils import common
+from ..utils import checkpoint as ckpt_lib
+
+
+def cosine_warmup_schedule(base_lr, warmup_steps, max_steps, min_lr_mult):
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = min_lr_mult + (1.0 - min_lr_mult) * step / max(warmup_steps, 1)
+        progress = (step - warmup_steps) / max(max_steps - warmup_steps, 1)
+        cos = min_lr_mult + (1.0 - min_lr_mult) * 0.5 * (
+            jnp.cos(jnp.pi * progress) + 1.0
+        )
+        return base_lr * jnp.where(step <= warmup_steps, warm, cos)
+
+    return schedule
+
+
+def constant_schedule(base_lr):
+    return lambda step: jnp.asarray(base_lr, jnp.float32)
+
+
+def make_lr_schedule(opt_cfg, base_lr, steps_per_epoch, max_epoch):
+    lr_type = opt_cfg.get("lr_type", "cosine")
+    if lr_type == "cosine":
+        return cosine_warmup_schedule(
+            base_lr,
+            warmup_steps=opt_cfg.get("warmup_epoch", 0) * steps_per_epoch,
+            max_steps=steps_per_epoch * max_epoch,
+            min_lr_mult=opt_cfg.get("min_lr_mult", 0.1),
+        )
+    if lr_type == "step":
+        return constant_schedule(base_lr)
+    raise NotImplementedError(f"lr_type {lr_type}")
+
+
+def ema_update(ema_params, new_params, decay: float):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params,
+        new_params,
+    )
+
+
+class BaseTrainer:
+    def __init__(self, cfg: ConfigDict):
+        self.cfg = cfg
+        self.is_master = jax.process_index() == 0
+        self.mesh = create_mesh()
+        self.save_dir = cfg.get("save_dir", cfg.get("out_path", "save/run"))
+        if self.is_master:
+            common.ensure_path(self.save_dir)
+            save_config(cfg, os.path.join(self.save_dir, "cfg.yaml"))
+        self.logger = common.set_logger(
+            os.path.join(self.save_dir, "log.txt") if self.is_master else None
+        )
+        self.writer = self._make_tb_writer()
+
+        seed = int(cfg.get("manualSeed", 0) or 0)
+        self.base_key = jax.random.PRNGKey(seed)
+        np.random.seed(seed)
+
+        self.epoch = 0
+        self.global_step = 0
+        self.log_buffer = []
+        self.train_psnr = []
+        self.train_loss = []
+        self.current_fvd = 99999.99
+        self.current_fid = 99999.99
+        self.best_fvd = None
+
+        ema_raw = str(cfg.get("ema_decay", "_"))
+        self.ema_decays = [
+            float(x) for x in ema_raw.split("_") if x not in ("", "none")
+        ]
+
+    # ------------------------------------------------------------------ infra
+
+    def _make_tb_writer(self):
+        if not self.is_master or not self.cfg.get("enable_tb", True):
+            return None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(os.path.join(self.save_dir, "tensorboard"))
+        except Exception:
+            return None
+
+    def log(self, msg: str):
+        if self.is_master:
+            self.logger.info(msg)
+
+    def log_temp_scalar(self, k, v, t=None):
+        if self.writer is not None:
+            self.writer.add_scalar(k, v, global_step=t if t is not None else self.epoch)
+
+    # ------------------------------------------------------------------- data
+
+    def make_datasets(self):
+        cfg = self.cfg
+        train_spec = cfg["train_dataset"]
+        self.train_dataset = registry.datasets.make(train_spec)
+        loader_cfg = train_spec.get("loader", {})
+        self.train_batch_size = int(loader_cfg.get("batch_size", 8))
+        self.train_workers = int(loader_cfg.get("num_workers", 0))
+        self.log(
+            f"train dataset: {len(self.train_dataset)} samples, "
+            f"batch {self.train_batch_size}"
+        )
+
+        self.test_datasets: Dict[str, Any] = {}
+        test_spec = cfg.get("test_dataset")
+        if test_spec is not None:
+            csv_paths = test_spec.get("csv_paths", {})
+            for name, csv_path in csv_paths.items():
+                if not csv_path:
+                    continue
+                spec = {
+                    "name": test_spec["name"],
+                    "args": {
+                        **dict(test_spec.get("args", {})),
+                        "csv_file": csv_path,
+                        "split": "test",
+                    },
+                }
+                self.test_datasets[name] = registry.datasets.make(spec)
+                self.log(
+                    f"test dataset {name}: {len(self.test_datasets[name])} samples"
+                )
+            self.test_batch_size = int(
+                test_spec.get("loader", {}).get("batch_size", self.train_batch_size)
+            )
+            self.test_workers = int(
+                test_spec.get("loader", {}).get("num_workers", 0)
+            )
+
+    def train_loader(self, epoch: int):
+        return make_loader(
+            self.train_dataset,
+            self.train_batch_size,
+            num_workers=self.train_workers,
+            shuffle=True,
+            seed=int(self.cfg.get("manualSeed", 0) or 0) + epoch,
+            num_epochs=1,
+        )
+
+    def test_loader(self, name: str):
+        return make_loader(
+            self.test_datasets[name],
+            self.test_batch_size,
+            num_workers=self.test_workers,
+            shuffle=False,
+            seed=0,
+            num_epochs=1,
+            drop_remainder=False,
+        )
+
+    # ------------------------------------------------------------ state hooks
+
+    def make_model(self):
+        raise NotImplementedError
+
+    def train_step(self, batch) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def evaluate_step(self, batch) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def visualize_epoch(self):
+        pass
+
+    def state_for_checkpoint(self):
+        raise NotImplementedError
+
+    def load_state(self, state):
+        raise NotImplementedError
+
+    def checkpoint_meta(self) -> Dict[str, Any]:
+        return {
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+            "cfg": self.cfg.to_dict(),
+        }
+
+    # ------------------------------------------------------------------ loops
+
+    def save_checkpoint(self, name: str):
+        path = os.path.join(self.save_dir, name)
+        t0 = time.time()
+        ckpt_lib.save_checkpoint(path, self.state_for_checkpoint(), self.checkpoint_meta())
+        self.log(f"checkpoint saved to {path} ({time.time() - t0:.1f}s)")
+
+    def try_resume(self) -> bool:
+        path = os.path.join(self.save_dir, "epoch-last")
+        if not ckpt_lib.checkpoint_exists(path) or self.cfg.get("replace", False):
+            return False
+        meta = ckpt_lib.load_meta(path)
+        state = ckpt_lib.restore_checkpoint(path, self.state_for_checkpoint())
+        self.load_state(state)
+        self.epoch = meta["epoch"]
+        self.global_step = meta["global_step"]
+        self.log(f"resumed from {path} at epoch {self.epoch}")
+        return True
+
+    def run(self):
+        self.make_datasets()
+        self.make_model()
+        resumed = self.try_resume()
+        self.starting_epoch = self.epoch + 1 if resumed else 1
+        self.train()
+
+    def train(self):
+        cfg = self.cfg
+        max_epoch = int(cfg["max_epoch"])
+        eval_epoch = int(cfg.get("eval_epoch", max_epoch + 1))
+        vis_epoch = int(cfg.get("vis_epoch", max_epoch + 1))
+        save_epoch = int(cfg.get("save_epoch", max_epoch + 1))
+        latest_interval = int(cfg.get("latest_interval", 1))
+        timer = common.EpochTimer(max_epoch)
+        self.n_steps_per_epoch = max(
+            len(self.train_dataset)
+            // (self.train_batch_size * max(jax.process_count(), 1)),
+            1,
+        )
+        self.max_steps = self.n_steps_per_epoch * max_epoch
+
+        for epoch in range(self.starting_epoch, max_epoch + 1):
+            self.epoch = epoch
+            self.global_step = (epoch - 1) * self.n_steps_per_epoch
+            self.log_buffer = [f"Epoch {epoch}"]
+            self.t_data, self.t_model = 0.0, 0.0
+
+            st = time.time()
+            self.train_epoch()
+            self.log(f"Epoch {epoch} training done. Time: {time.time()-st:.2f}s")
+
+            if epoch % eval_epoch == 0:
+                self.evaluate_epoch()
+            if epoch % vis_epoch == 0:
+                self.visualize_epoch()
+            if epoch % save_epoch == 0:
+                self.save_checkpoint(f"epoch-{epoch}")
+            if epoch % latest_interval == 0:
+                self.save_checkpoint("epoch-last")
+
+            epoch_time, tot_time, est_time = timer.epoch_done()
+            d_ratio = self.t_data / (self.t_data + self.t_model + 1e-6)
+            self.log_buffer.append(
+                f"{epoch_time} (d {d_ratio:.2f}) {tot_time}/{est_time}"
+            )
+            self.log(", ".join(self.log_buffer))
+
+        self.dump_csv()
+
+    def train_epoch(self):
+        ave: Dict[str, common.Averager] = {}
+        t1 = time.time()
+        for batch in self.train_loader(self.epoch):
+            self.global_step += 1
+            t0 = time.time()
+            self.t_data += t0 - t1
+            batch_dev = shard_batch(self.mesh, {"gt": batch["gt"], "label": batch.get("label", np.zeros(len(batch["gt"])))})
+            ret = self.train_step(batch_dev)
+            self.t_model += time.time() - t0
+            B = len(batch["gt"])
+            for k, v in ret.items():
+                ave.setdefault(k, common.Averager()).add(float(v), n=B)
+            t1 = time.time()
+
+        logtext = "train:"
+        for k, v in ave.items():
+            logtext += f" {k}={v.item():.4f}"
+            self.log_temp_scalar("train/" + k, v.item())
+        self.log_buffer.append(logtext)
+        if "psnr" in ave:
+            self.train_psnr.append(ave["psnr"].item())
+        if "loss" in ave:
+            self.train_loss.append(ave["loss"].item())
+
+    def evaluate_epoch(self):
+        for name in self.test_datasets:
+            ave: Dict[str, common.Averager] = {}
+            for batch in self.test_loader(name):
+                batch_dev = shard_batch(
+                    self.mesh,
+                    {"gt": batch["gt"], "label": batch.get("label", np.zeros(len(batch["gt"])))},
+                )
+                ret = self.evaluate_step(batch_dev)
+                B = len(batch["gt"])
+                for k, v in ret.items():
+                    ave.setdefault(k, common.Averager()).add(float(v), n=B)
+            logtext = f"eval {name}:"
+            for k, v in ave.items():
+                logtext += f" {k}={v.item():.4f}"
+                self.log_temp_scalar(f"eval_{name}/{k}", v.item())
+            self.log_buffer.append(logtext)
+            self.log(logtext)
+
+    def dump_csv(self):
+        if not self.is_master:
+            return
+        path = os.path.join(self.save_dir, "results.csv")
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["epoch", "train_psnr", "train_loss"])
+            for i, (p, l) in enumerate(
+                zip(
+                    self.train_psnr or [None] * len(self.train_loss),
+                    self.train_loss or [None] * len(self.train_psnr),
+                )
+            ):
+                w.writerow([i + 1, p, l])

@@ -1,0 +1,398 @@
+"""LARP tokenizer trainer: two-optimizer GAN training as one jitted SPMD step.
+
+Re-expresses `/root/reference/trainers/larp_tokenizer_trainer.py`:
+  * two optimizers (generator vs discriminator) with separate LRs
+    (larp_tokenizer_trainer.py:160-229); GradScalers are unnecessary (bf16).
+  * the GAN step order matches `_iter_step` (:232-384): ONE tokenizer forward
+    (its VJP residuals retained), discriminator update on detached
+    reconstructions first, then the generator loss evaluated with the
+    *updated* discriminator and pulled back through the saved VJP — the exact
+    single-forward retain-graph semantics of the torch code, jit-compiled.
+  * discriminator gating: epoch >= disc_self_start, every `d_update_freq`
+    steps, and d_loss > d_update_loss_threshold (:263-289) — all expressed as
+    masked pytree selects so the program stays static.
+  * generator extras: loss_q with epoch-warmup (:84-89), loss_kl linear decay
+    (:92-102), loss_latent_ce (prior), grad clipping (:373-375), EMA (:378).
+  * codebook telemetry: index_usage (first sample), index_usage_batch,
+    perplexity, KL-from-uniform (:335-352); PSNR/SSIM (:313-317).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import registry
+from ..metrics import statistics as stats
+from ..parallel import replicated_sharding
+from ..registry import trainers
+from ..utils import common
+from .base_trainer import BaseTrainer, ema_update, make_lr_schedule
+
+
+def make_optimizer(name: str, lr_schedule, args: Dict[str, Any]):
+    name = name.lower()
+    betas = args.get("betas", [0.9, 0.999])
+    if name == "adam":
+        return optax.adam(lr_schedule, b1=betas[0], b2=betas[1])
+    if name == "adamw":
+        return optax.adamw(
+            lr_schedule, b1=betas[0], b2=betas[1],
+            weight_decay=args.get("weight_decay", 0.0),
+        )
+    if name == "sgd":
+        return optax.sgd(lr_schedule, momentum=args.get("momentum", 0.0))
+    raise ValueError(f"unknown optimizer {name}")
+
+
+@trainers.register("larp_tokenizer_trainer")
+class LARPTokenizerTrainer(BaseTrainer):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.loss_q_weight = float(cfg.get("loss_q_weight", 0.0))
+        warmup = str(cfg.get("loss_q_warmup", "1.0_1")).split("_")
+        self.loss_q_starting_ratio = float(warmup[0])
+        self.loss_q_warmup_epochs = int(warmup[1])
+        self.base_kl_weight = float(cfg.get("loss_kl_weight", 0.0))
+        self.kl_decay_epoch = int(cfg.get("kl_decay_epoch", -1))
+        self.loss_latent_ce_weight = float(cfg.get("loss_latent_ce_weight", 0.0))
+        self.clip_grad_max_norm = float(cfg.get("clip_grad_max_norm", 0.0))
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.get("use_amp", False) else jnp.float32
+        )
+
+    # -------------------------------------------------------------- building
+
+    def make_model(self):
+        cfg = self.cfg
+        model_spec = dict(cfg["model"])
+        model_args = dict(model_spec.get("args", {}))
+        model_args.setdefault("dtype", self.compute_dtype)
+        self.model = registry.models.make(
+            {"name": model_spec["name"], "args": model_args}
+        )
+        loss_spec = dict(cfg["loss"])
+        self.loss_mod = registry.models.make(
+            {
+                "name": loss_spec["name"],
+                "args": {**dict(loss_spec.get("args", {})), "dtype": self.compute_dtype},
+            }
+        )
+
+        sample_shape = (
+            1, 3, int(self.model.frame_num), int(self.model.input_size),
+            int(self.model.input_size),
+        )
+        dummy = jnp.zeros(sample_shape, jnp.float32)
+        k0, k1, k2, k3 = jax.random.split(self.base_key, 4)
+        model_vars = self.model.init({"params": k0, "vq": k1}, dummy, train=True)
+        self.model_params = model_vars["params"]
+        loss_vars = self.loss_mod.init(
+            {"params": k2, "gan": k3}, dummy, dummy, method=self.loss_mod.initialize
+        )
+        self.loss_params = loss_vars["params"]
+        self.loss_ema = loss_vars.get("ema", {})
+        self.log(
+            f"model params: {common.compute_num_params(self.model_params)}; "
+            f"loss params: {common.compute_num_params(self.loss_params)}"
+        )
+
+        # optimizers
+        opt_cfg = self.cfg["optimizer"]
+        steps_per_epoch = max(
+            len(self.train_dataset)
+            // (self.train_batch_size * max(jax.process_count(), 1)),
+            1,
+        )
+        max_epoch = int(self.cfg["max_epoch"])
+        g_sched = make_lr_schedule(
+            opt_cfg, float(opt_cfg["args"]["lr"]), steps_per_epoch, max_epoch
+        )
+        d_sched = make_lr_schedule(
+            opt_cfg, float(opt_cfg.get("loss_args", opt_cfg["args"])["lr"]),
+            steps_per_epoch, max_epoch,
+        )
+        g_tx = make_optimizer(opt_cfg.get("name", "adam"), g_sched, opt_cfg["args"])
+        if self.clip_grad_max_norm > 0:
+            g_tx = optax.chain(
+                optax.clip_by_global_norm(self.clip_grad_max_norm), g_tx
+            )
+        self.g_tx = g_tx
+
+        # discriminator optimizer: train only the 'discriminator' subtree;
+        # LPIPS weights stay frozen (reference loss.py:305-308).
+        def label_fn(params):
+            return {
+                k: ("train" if k == "discriminator" else "freeze")
+                for k in params.keys()
+            }
+
+        d_tx_inner = make_optimizer(
+            opt_cfg.get("loss_name", opt_cfg.get("name", "adam")),
+            d_sched, opt_cfg.get("loss_args", opt_cfg["args"]),
+        )
+        if self.clip_grad_max_norm > 0:
+            d_tx_inner = optax.chain(
+                optax.clip_by_global_norm(self.clip_grad_max_norm), d_tx_inner
+            )
+        self.d_tx = optax.multi_transform(
+            {"train": d_tx_inner, "freeze": optax.set_to_zero()}, label_fn
+        )
+
+        state = {
+            "params": self.model_params,
+            "loss_params": self.loss_params,
+            "loss_ema": self.loss_ema,
+            "opt_g": self.g_tx.init(self.model_params),
+            "opt_d": self.d_tx.init(self.loss_params),
+            "ema_params": {
+                str(d): jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.float32), self.model_params
+                )
+                for d in self.ema_decays
+            },
+            "step": jnp.zeros((), jnp.int32),
+            "rng": jax.random.fold_in(self.base_key, 1234),
+        }
+        rep = replicated_sharding(self.mesh)
+        self.state = jax.device_put(state, rep)
+
+        self._train_step = jax.jit(
+            functools.partial(self._step_impl, is_train=True),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(functools.partial(self._step_impl, is_train=False))
+
+    # ------------------------------------------------------------- schedules
+
+    def _loss_q_weight_for_epoch(self, epoch):
+        w = self.loss_q_weight
+        if self.loss_q_warmup_epochs > 1:
+            ratio = self.loss_q_starting_ratio + (
+                1 - self.loss_q_starting_ratio
+            ) * (epoch - 1) / (self.loss_q_warmup_epochs - 1)
+            w = jnp.where(epoch < self.loss_q_warmup_epochs, ratio * w, w)
+        return w
+
+    def _kl_weight_for_step(self, step):
+        if self.kl_decay_epoch <= 0:
+            return self.base_kl_weight
+        cutoff = self.kl_decay_epoch * self.n_steps_per_epoch
+        return jnp.where(
+            step < cutoff,
+            self.base_kl_weight * (1 - step / cutoff),
+            0.0,
+        )
+
+    # ------------------------------------------------------------- step impl
+
+    def _step_impl(self, state, batch, epoch, is_train: bool):
+        data = batch["gt"].astype(jnp.float32)
+        rng = state["rng"]
+        rng, r_vq, r_gan_d, r_gan_g = jax.random.split(rng, 4)
+        step = state["step"]
+        info: Dict[str, Any] = {}
+
+        # --- single tokenizer forward, VJP residuals retained
+        def model_fwd(params):
+            out = self.model.apply(
+                {"params": params}, data, train=is_train, rngs={"vq": r_vq}
+            )
+            diff = {"pred_frames": out["pred_frames"].astype(jnp.float32)}
+            for k in ("loss_q", "loss_kl", "loss_latent_ce", "align_loss"):
+                if k in out:
+                    diff[k] = out[k].astype(jnp.float32)
+            aux = {
+                k: v for k, v in out.items()
+                if k not in diff and not isinstance(v, dict)
+            }
+            return diff, aux
+
+        if is_train:
+            (diff_out, vjp_fn, aux) = jax.vjp(model_fwd, state["params"], has_aux=True)
+        else:
+            diff_out, aux = model_fwd(state["params"])
+        pred_frames = diff_out["pred_frames"]
+
+        # --- discriminator step (updated first, like the reference)
+        loss_params, loss_ema = state["loss_params"], state["loss_ema"]
+        opt_d = state["opt_d"]
+        disc_self_start = self.loss_mod.disc_self_start
+        if disc_self_start is None or disc_self_start < 0:
+            disc_self_start = self.loss_mod.disc_start
+
+        def d_loss_fn(lp):
+            (dl, dinfo), mut = self.loss_mod.apply(
+                {"params": lp, "ema": loss_ema},
+                data, jax.lax.stop_gradient(pred_frames), epoch,
+                for_discriminator=True, train=is_train,
+                rngs={"gan": r_gan_d}, mutable=["ema"],
+            )
+            return dl, (dinfo, mut["ema"])
+
+        if is_train:
+            (d_loss, (d_info, new_ema)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(loss_params)
+            should_d = (
+                (epoch >= disc_self_start)
+                & (jnp.mod(step, self.loss_mod.d_update_freq) == 0)
+                & (d_loss > self.loss_mod.d_update_loss_threshold)
+            )
+            d_updates, new_opt_d = self.d_tx.update(d_grads, opt_d, loss_params)
+            cand_params = optax.apply_updates(loss_params, d_updates)
+            sel = lambda n, o: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(should_d, a, b), n, o
+            )
+            loss_params = sel(cand_params, loss_params)
+            opt_d = sel(new_opt_d, opt_d)
+            loss_ema = sel(new_ema, loss_ema)
+        else:
+            d_loss, (d_info, _) = d_loss_fn(loss_params)
+        info.update(d_info)
+
+        # --- generator loss with the UPDATED discriminator
+        lqw = self._loss_q_weight_for_epoch(epoch)
+        klw = self._kl_weight_for_step(step)
+
+        def g_loss_fn(diff):
+            gl, ginfo = self.loss_mod.apply(
+                {"params": loss_params, "ema": loss_ema},
+                data, diff["pred_frames"], epoch,
+                for_discriminator=False, train=is_train, rngs={"gan": r_gan_g},
+            )
+            total = gl
+            if "loss_kl" in diff:
+                total = total + diff["loss_kl"] * klw
+                ginfo["loss_kl"] = diff["loss_kl"]
+                ginfo["kl_weight"] = klw
+            if "align_loss" in diff:
+                total = total + diff["align_loss"] * 0.2
+                ginfo["align_loss"] = diff["align_loss"]
+            if "loss_q" in diff:
+                total = total + diff["loss_q"] * lqw
+                ginfo["loss_q"] = diff["loss_q"]
+            if "loss_latent_ce" in diff:
+                total = total + diff["loss_latent_ce"] * self.loss_latent_ce_weight
+                ginfo["loss_latent_ce"] = diff["loss_latent_ce"]
+            return total, ginfo
+
+        if is_train:
+            (g_total, g_info), out_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(diff_out)
+            (param_grads,) = vjp_fn(out_grads)
+            g_updates, new_opt_g = self.g_tx.update(
+                param_grads, state["opt_g"], state["params"]
+            )
+            new_params = optax.apply_updates(state["params"], g_updates)
+            ema_params = {
+                d: ema_update(state["ema_params"][d], new_params, float(d))
+                for d in state["ema_params"]
+            }
+        else:
+            g_total, g_info = g_loss_fn(diff_out)
+            new_params = state["params"]
+            new_opt_g = state["opt_g"]
+            ema_params = state["ema_params"]
+        info.update(g_info)
+
+        # --- metrics
+        B = data.shape[0]
+        mses = jnp.mean(
+            (pred_frames - data).reshape(B, -1) ** 2, axis=-1
+        )
+        info["mse"] = jnp.mean(mses)
+        info["psnr"] = jnp.mean(common.psnr_from_mse(mses))
+        info["ssim"] = stats.video_ssim(pred_frames, data)
+        info["loss"] = g_total
+
+        if "bottleneck_rep" in aux and aux["bottleneck_rep"].dtype in (
+            jnp.int32, jnp.int64,
+        ):
+            cb = self.model.codebook_size
+            hist_first = stats.index_histogram(aux["bottleneck_rep"][0], cb)
+            hist_batch = stats.index_histogram(aux["bottleneck_rep"], cb)
+            info["index_usage"] = stats.index_usage_percentage(hist_first)
+            info["index_usage_batch"] = stats.index_usage_percentage(hist_batch)
+            info["perplexity"] = stats.perplexity(hist_first)
+            info["kl_uni"] = stats.kl_divergence_from_uniform(hist_first)
+        for k, v in aux.items():
+            if hasattr(v, "ndim") and v.ndim == 0:
+                info[k] = v
+
+        new_state = {
+            "params": new_params,
+            "loss_params": loss_params,
+            "loss_ema": loss_ema,
+            "opt_g": new_opt_g,
+            "opt_d": opt_d,
+            "ema_params": ema_params,
+            "step": step + (1 if is_train else 0),
+            "rng": rng,
+        }
+        return new_state, info
+
+    # ------------------------------------------------------------ loop hooks
+
+    def train_step(self, batch):
+        self.state, info = self._train_step(
+            self.state, batch, jnp.asarray(self.epoch, jnp.int32)
+        )
+        return common.to_host_scalars(info)
+
+    def evaluate_step(self, batch):
+        _, info = self._eval_step(
+            self.state, batch, jnp.asarray(self.epoch, jnp.int32)
+        )
+        return common.to_host_scalars(
+            {k: v for k, v in info.items() if hasattr(v, "ndim") and v.ndim == 0}
+        )
+
+    def visualize_epoch(self):
+        if not self.is_master or not self.test_datasets:
+            return
+        try:
+            name = next(iter(self.test_datasets))
+            batch = next(iter(self.test_loader(name)))
+            data = jnp.asarray(batch["gt"][:4])
+            out = self.model.apply(
+                {"params": self.state["params"]}, data, train=False,
+                rngs={"vq": jax.random.PRNGKey(0)},
+            )
+            pred = np.asarray(out["pred_frames"])
+            vis_dir = common.ensure_path(os.path.join(self.save_dir, "vis"))
+            self._save_video_grid(
+                np.asarray(data), pred,
+                os.path.join(vis_dir, f"epoch_{self.epoch}.png"),
+            )
+        except Exception as e:  # visualization must never kill training
+            self.log(f"visualize_epoch failed: {e}")
+
+    @staticmethod
+    def _save_video_grid(gt, pred, path, max_frames=8):
+        import cv2
+
+        b, c, t, h, w = gt.shape
+        t = min(t, max_frames)
+        rows = []
+        for i in range(min(b, 4)):
+            row_gt = np.concatenate([gt[i, :, j] for j in range(t)], axis=-1)
+            row_pr = np.concatenate([pred[i, :, j] for j in range(t)], axis=-1)
+            rows += [row_gt, row_pr]
+        grid = np.concatenate(rows, axis=-2)  # [c, H*, W*]
+        img = np.clip(np.transpose(grid, (1, 2, 0)) * 255, 0, 255).astype(np.uint8)
+        cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    # ----------------------------------------------------------- checkpoints
+
+    def state_for_checkpoint(self):
+        return self.state
+
+    def load_state(self, state):
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))

@@ -1,0 +1,66 @@
+"""Orbax-based checkpointing of training state.
+
+Replaces the reference's torch checkpoint dicts + per-rank RNG gathering
+(`/root/reference/trainers/base_trainer.py:783-891`): under single-program
+SPMD the whole train state — params, both optimizer states, EMA params, the
+jax.random key, and step — is ONE pytree; the RNG key travels inside it, so
+there is no per-rank RNG gymnastics. The model spec (name + args) and full
+config are stored alongside as metadata so `from_checkpoint` can rebuild the
+model exactly like the reference's `ckpt['model']['args']` flow
+(`models/larp_tokenizer.py:376-398`).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "meta.json")
+
+
+def save_checkpoint(
+    path: str,
+    state: Any,
+    meta: Optional[Dict[str, Any]] = None,
+    force: bool = True,
+):
+    """Save a pytree `state` + JSON-serializable `meta` to directory `path`."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    ckptr.save(os.path.join(path, "state"), state, force=force)
+    ckptr.wait_until_finished()
+    if meta is not None and jax.process_index() == 0:
+        with open(_meta_path(path), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    with open(_meta_path(os.path.abspath(path))) as f:
+        return json.load(f)
+
+
+def restore_checkpoint(path: str, target: Any = None) -> Any:
+    """Restore state saved by `save_checkpoint`. `target` gives the pytree
+    structure/dtypes (abstract or concrete); None restores raw arrays."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+            if hasattr(x, "dtype")
+            else x,
+            target,
+        )
+        return ckptr.restore(os.path.join(path, "state"), abstract)
+    return ckptr.restore(os.path.join(path, "state"))
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(os.path.abspath(path), "state"))
