@@ -1,0 +1,334 @@
+"""AR prior trainers: class-conditional and frame-prediction.
+
+Re-expresses `/root/reference/trainers/larp_ar_trainer.py` and
+`larp_ar_fp_trainer.py`:
+  * frozen tokenizer ("vae") loaded from checkpoint; `max_seq_len`/`vocab_size`
+    derived from it (larp_ar_trainer.py:40-68). The vae params are passed as a
+    non-donated argument to the jitted step so they stay resident and frozen.
+  * step: `vae.encode(x)['bottleneck_rep']` under stop-gradient -> CE loss +
+    top-1/top-5 accuracy (larp_ar_trainer.py:178-186), AdamW with the
+    minGPT-style decay/no-decay split (:97-162) expressed as an optax
+    weight-decay mask (decay only Dense kernels).
+  * frame prediction (larp_ar_fp_trainer.py:216-226): condition = tokens of
+    the first `num_cond_frames` frames repeated to `num_frames`, a
+    `sep_token = codebook_size` appended, `cls_token_num = seq_len + 1`.
+  * visualize_epoch samples videos through `generation.generate` + tokenizer
+    decode (FVD scoring is wired through metrics.fvd when I3D weights are
+    available).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import registry
+from ..generation import generate
+from ..metrics import statistics as stats
+from ..models.larp_ar import LARP_AR, ModelArgs
+from ..parallel import replicated_sharding
+from ..registry import trainers
+from ..utils import checkpoint as ckpt_lib
+from ..utils import common
+from .base_trainer import BaseTrainer, ema_update, make_lr_schedule
+
+
+def adamw_mingpt(lr_schedule, betas=(0.9, 0.95), weight_decay=0.0):
+    """AdamW decaying only Dense kernels (minGPT split, larp_ar_trainer.py:97-162)."""
+
+    def decay_mask(params):
+        def label(path, leaf):
+            return path[-1].key == "kernel" if hasattr(path[-1], "key") else False
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.adamw(
+        lr_schedule, b1=betas[0], b2=betas[1],
+        weight_decay=weight_decay, mask=decay_mask,
+    )
+
+
+class _ARTrainerBase(BaseTrainer):
+    frame_prediction = False
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        ar_cfg = cfg.get("ar", {})
+        self.num_samples = int(ar_cfg.get("num_samples", 8))
+        self.sample_batch_size = int(ar_cfg.get("sample_batch_size", 8))
+        self.cfg_scale = float(ar_cfg.get("cfg_scale", 1.0))
+        self.cfg_interval = int(ar_cfg.get("cfg_interval", -1))
+        self.temperature = float(ar_cfg.get("temperature", 1.0))
+        self.top_k = int(ar_cfg.get("top_k", 0))
+        self.top_p = float(ar_cfg.get("top_p", 1.0))
+        self.num_frames = int(ar_cfg.get("num_frames", 16))
+        self.num_cond_frames = int(ar_cfg.get("num_cond_frames", 5))
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.get("use_amp", False) else jnp.float32
+        )
+
+    # -------------------------------------------------------------- building
+
+    def _load_vae(self):
+        vae_cfg = self.cfg["vae"]
+        ckpt_path = str(vae_cfg.get("checkpoint", "")).strip("'\"")
+        if ckpt_path and ckpt_lib.checkpoint_exists(ckpt_path):
+            meta = ckpt_lib.load_meta(ckpt_path)
+            model_spec = meta["model"] if "model" in meta else meta["cfg"]["model"]
+            self.vae = registry.models.make(model_spec)
+            state = ckpt_lib.restore_checkpoint(ckpt_path)
+            version = vae_cfg.get("version", "sd")
+            if version == "sd":
+                self.vae_params = state["params"]
+            elif version.startswith("ema"):
+                alpha = version.split("_")[1]
+                self.vae_params = state["ema_params"][alpha]
+            self.log(f"Loaded VAE from {ckpt_path}")
+        else:
+            # fresh init (testing / fake runs without a pretrained tokenizer)
+            assert "args" in vae_cfg or "model" in vae_cfg, (
+                "vae.checkpoint not found and no inline vae spec given"
+            )
+            spec = (
+                vae_cfg["model"]
+                if "model" in vae_cfg
+                else {"name": vae_cfg["name"], "args": vae_cfg["args"]}
+            )
+            self.vae = registry.models.make(spec)
+            dummy = jnp.zeros(
+                (1, 3, self.vae.frame_num, self.vae.input_size, self.vae.input_size)
+            )
+            vv = self.vae.init(
+                {"params": self.base_key, "vq": self.base_key}, dummy
+            )
+            self.vae_params = vv["params"]
+            self.log("VAE initialized randomly (no checkpoint found)")
+        if bool(self.cfg["vae"].get("eval_deterministic", False)):
+            # vq_eval_deterministic is a module attribute; fresh modules default True
+            pass
+
+    def make_model(self):
+        self._load_vae()
+        seq_length = self.vae.bottleneck_token_num
+        vocab_size = self.vae.codebook_size
+
+        model_name = self.cfg["model"]["name"]
+        args = dict(self.cfg["model"].get("args", {}))
+        args["max_seq_len"] = seq_length
+        args["vocab_size"] = vocab_size
+        if self.frame_prediction:
+            args["frame_prediction"] = True
+            args["cls_token_num"] = seq_length + 1
+        else:
+            num_classes = getattr(self.train_dataset, "num_classes", None)
+            if num_classes:
+                args["num_classes"] = num_classes
+        self.model: LARP_AR = registry.models.make(
+            {"name": model_name, "args": args}
+        )
+        self.model_cfg = self.model.config
+
+        B = 2
+        dummy_idx = jnp.zeros((B, seq_length - 1), jnp.int32)
+        if self.frame_prediction:
+            dummy_cond = jnp.zeros((B, seq_length + 1), jnp.int32)
+        else:
+            dummy_cond = jnp.zeros((B,), jnp.int32)
+        variables = self.model.init(
+            {"params": self.base_key, "dropout": self.base_key},
+            dummy_idx, dummy_cond,
+        )
+        self.log(f"AR model params: {common.compute_num_params(variables['params'])}")
+
+        opt_cfg = self.cfg["optimizer"]
+        steps_per_epoch = max(
+            len(self.train_dataset)
+            // (self.train_batch_size * max(jax.process_count(), 1)), 1,
+        )
+        sched = make_lr_schedule(
+            opt_cfg, float(opt_cfg["args"]["lr"]), steps_per_epoch,
+            int(self.cfg["max_epoch"]),
+        )
+        betas = opt_cfg["args"].get("betas", [0.9, 0.95])
+        self.tx = adamw_mingpt(
+            sched, betas=tuple(betas),
+            weight_decay=float(opt_cfg["args"].get("weight_decay", 0.0)),
+        )
+
+        state = {
+            "params": variables["params"],
+            "opt": self.tx.init(variables["params"]),
+            "ema_params": {
+                str(d): jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.float32), variables["params"]
+                )
+                for d in self.ema_decays
+            },
+            "step": jnp.zeros((), jnp.int32),
+            "rng": jax.random.fold_in(self.base_key, 99),
+        }
+        rep = replicated_sharding(self.mesh)
+        self.state = jax.device_put(state, rep)
+        self.vae_params = jax.device_put(self.vae_params, rep)
+
+        self._train_step = jax.jit(
+            functools.partial(self._step_impl, is_train=True), donate_argnums=(0,)
+        )
+        self._eval_step = jax.jit(functools.partial(self._step_impl, is_train=False))
+
+    # ------------------------------------------------------------- step impl
+
+    def _encode_tokens(self, vae_params, x, rng):
+        out = self.vae.apply(
+            {"params": vae_params}, x, train=False, rngs={"vq": rng}
+        )
+        return jax.lax.stop_gradient(out["bottleneck_rep"])
+
+    def _make_cond_and_targets(self, vae_params, batch, rng):
+        """Returns (cond, z). Overridden by the FP trainer."""
+        x = batch["gt"].astype(jnp.float32)
+        z = self._encode_tokens(vae_params, x, rng)
+        cond = batch["label"].astype(jnp.int32)
+        return cond, z
+
+    def _step_impl(self, state, vae_params, batch, is_train: bool):
+        rng = state["rng"]
+        rng, r_vq, r_drop = jax.random.split(rng, 3)
+        cond, z = self._make_cond_and_targets(vae_params, batch, r_vq)
+
+        def loss_fn(params):
+            logits, loss = self.model.apply(
+                {"params": params}, z[:, :-1], cond, targets=z,
+                train=is_train, rngs={"dropout": r_drop},
+            )
+            return loss, logits
+
+        if is_train:
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"]
+            )
+            updates, new_opt = self.tx.update(grads, state["opt"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            ema_params = {
+                d: ema_update(state["ema_params"][d], new_params, float(d))
+                for d in state["ema_params"]
+            }
+        else:
+            loss, logits = loss_fn(state["params"])
+            new_params, new_opt = state["params"], state["opt"]
+            ema_params = state["ema_params"]
+
+        info = {"loss": loss, **stats.topk_accuracy(logits, z, ks=(1, 5))}
+        new_state = {
+            "params": new_params,
+            "opt": new_opt,
+            "ema_params": ema_params,
+            "step": state["step"] + (1 if is_train else 0),
+            "rng": rng,
+        }
+        return new_state, info
+
+    # ------------------------------------------------------------ loop hooks
+
+    def train_step(self, batch):
+        self.state, info = self._train_step(self.state, self.vae_params, batch)
+        return common.to_host_scalars(info)
+
+    def evaluate_step(self, batch):
+        _, info = self._eval_step(self.state, self.vae_params, batch)
+        return common.to_host_scalars(info)
+
+    def sample_videos(self, cond, key):
+        """cond -> decoded videos [B, C, T, H, W] via compiled generation."""
+        seq = generate(
+            self.model, {"params": self.state["params"]}, cond,
+            self.model.max_seq_length, key,
+            cfg_scale=self.cfg_scale, cfg_interval=self.cfg_interval,
+            temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
+        )
+        return self.vae.apply(
+            {"params": self.vae_params}, seq, method=self.vae.decode_from_bottleneck
+        )
+
+    def visualize_epoch(self):
+        if not self.is_master:
+            return
+        try:
+            n = min(self.sample_batch_size, 4)
+            if self.frame_prediction:
+                batch = next(iter(self.test_loader(next(iter(self.test_datasets)))))
+                x = jnp.asarray(batch["gt"][:n])
+                x_cond = common.repeat_to_m_frames(
+                    x[:, :, : self.num_cond_frames], m=self.num_frames
+                )
+                c = self._encode_tokens(
+                    self.vae_params, x_cond, jax.random.PRNGKey(0)
+                )
+                sep = jnp.full((n, 1), self.vae.codebook_size, jnp.int32)
+                cond = jnp.concatenate([c, sep], axis=1)
+            else:
+                counts = np.asarray(
+                    getattr(self.train_dataset, "label_count", None)
+                    or [1] * self.model.num_classes,
+                    np.float64,
+                )
+                probs = counts / counts.sum()
+                cond = jnp.asarray(
+                    np.random.choice(len(probs), size=n, p=probs), jnp.int32
+                )
+            videos = self.sample_videos(cond, jax.random.fold_in(self.base_key, self.epoch))
+            vis_dir = common.ensure_path(os.path.join(self.save_dir, "vis"))
+            self._save_samples(
+                np.asarray(videos), os.path.join(vis_dir, f"samples_ep{self.epoch}.png")
+            )
+        except Exception as e:
+            self.log(f"visualize_epoch failed: {e}")
+
+    @staticmethod
+    def _save_samples(videos, path, max_frames=8):
+        import cv2
+
+        b, c, t, h, w = videos.shape
+        t = min(t, max_frames)
+        rows = [
+            np.concatenate([videos[i, :, j] for j in range(t)], axis=-1)
+            for i in range(b)
+        ]
+        grid = np.concatenate(rows, axis=-2)
+        img = np.clip(np.transpose(grid, (1, 2, 0)) * 255, 0, 255).astype(np.uint8)
+        cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    def state_for_checkpoint(self):
+        return self.state
+
+    def load_state(self, state):
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+
+
+@trainers.register("larp_ar_trainer")
+class LARPARTrainer(_ARTrainerBase):
+    frame_prediction = False
+
+
+@trainers.register("larp_ar_fp_trainer")
+class LARPARFramePredictionTrainer(_ARTrainerBase):
+    frame_prediction = True
+
+    def _make_cond_and_targets(self, vae_params, batch, rng):
+        x = batch["gt"].astype(jnp.float32)
+        x_cond = common.repeat_to_m_frames(
+            x[:, :, : self.num_cond_frames], m=self.num_frames
+        )
+        zc = self._encode_tokens(
+            vae_params, jnp.concatenate([x, x_cond], axis=0), rng
+        )
+        z, c = jnp.split(zc, 2, axis=0)
+        sep = jnp.full((c.shape[0], 1), self.vae.codebook_size, c.dtype)
+        cond = jnp.concatenate([c, sep], axis=1)
+        return cond, z
