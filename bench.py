@@ -1,0 +1,144 @@
+"""Benchmark: flagship tokenizer encode+decode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+
+Primary metric (BASELINE.json): 16-frame 128x128 clip encode+VQ+decode
+throughput, clips/sec/chip, on the LARP-L-long flagship geometry (1024
+holistic tokens, d=768, 12+12 layers, VQ-8192). `vs_baseline` is the ratio to
+the single-host CPU baseline of the same jitted program measured on this
+machine (see CPU_BASELINE_CLIPS_PER_S below; re-measure with --cpu-baseline).
+Extras: AR sampling tokens/s (llama-abs-LP-geometry KV-cache decode).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Measured on this container's CPU (one host, same jitted fp32 program,
+# batch 1): see `python bench.py --cpu-baseline`.
+CPU_BASELINE_CLIPS_PER_S = None  # filled after first CPU measurement below
+_CPU_BASELINE_FILE = "cpu_baseline.json"
+
+
+def bench_tokenizer(batch_size: int = 8, iters: int = 20, dtype=jnp.bfloat16):
+    # NOTE: on the axon TPU tunnel, block_until_ready returns before the
+    # computation finishes; we chain `iters` forwards inside one jitted
+    # lax.scan (each feeding the next) and fetch one scalar to the host,
+    # so the measured wall time is real end-to-end device time.
+    from __graft_entry__ import flagship_tokenizer
+
+    model = flagship_tokenizer(dtype=dtype)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(0), (batch_size, 3, 16, 128, 128), jnp.float32
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)},
+        x[:1], train=False,
+    )
+    # the flagship output layer is zero-init; randomize it so every chained
+    # forward sees a distinct, input-dependent tensor
+    variables = jax.tree_util.tree_map(
+        lambda p: p
+        if p.ndim < 2
+        else p + 0.02 * jax.random.normal(jax.random.PRNGKey(9), p.shape, p.dtype),
+        variables,
+    )
+
+    def chained(variables, x, n):
+        def body(carry, _):
+            out = model.apply(
+                variables, carry, train=False, rngs={"vq": jax.random.PRNGKey(3)}
+            )
+            nxt = jnp.clip(out["pred_frames"].astype(x.dtype), 0.0, 1.0)
+            return nxt, out["bottleneck_rep"][0, 0]
+        final, reps = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(final[0, 0, 0, 0]) + jnp.sum(reps)
+
+    fn = jax.jit(chained, static_argnames=("n",))
+    float(fn(variables, x, iters))  # compile + warmup (same n as timed run)
+    t0 = time.perf_counter()
+    float(fn(variables, x, iters))  # host fetch forces completion
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 256):
+    """KV-cache decode throughput on the 632M llama-abs-LP geometry."""
+    from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
+    from video_tokenizer_tpu.generation import generate
+
+    cfg = ModelArgs(
+        n_layer=30, n_head=20, dim=1280, vocab_size=8192, num_classes=101,
+        max_seq_len=1024, token_dropout_p=0.0, resid_dropout_p=0.0,
+        ffn_dropout_p=0.0,
+    )
+    model = LARP_AR(cfg)
+    cond = jnp.zeros((batch_size,), jnp.int32)
+    idx = jnp.zeros((batch_size, 8), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, idx, cond)
+    variables = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), variables
+    )
+
+    key = jax.random.PRNGKey(1)
+    seq = generate(model, variables, cond, new_tokens, key, cfg_scale=1.5, top_k=100)
+    int(seq.sum())  # force completion (block_until_ready is unreliable here)
+    t0 = time.perf_counter()
+    seq = generate(model, variables, cond, new_tokens, jax.random.PRNGKey(2),
+                   cfg_scale=1.5, top_k=100)
+    int(seq.sum())
+    dt = time.perf_counter() - t0
+    return batch_size * new_tokens / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-baseline", action="store_true",
+                    help="measure the CPU baseline and store it")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip-ar", action="store_true")
+    args = ap.parse_args()
+
+    import os
+
+    if args.cpu_baseline:
+        jax.config.update("jax_platforms", "cpu")
+        clips_s = bench_tokenizer(batch_size=1, iters=2, dtype=jnp.float32)
+        with open(_CPU_BASELINE_FILE, "w") as f:
+            json.dump({"clips_per_s": clips_s}, f)
+        print(json.dumps({"metric": "cpu_baseline_encode_decode",
+                          "value": round(clips_s, 4), "unit": "clips/s"}))
+        return
+
+    baseline = None
+    if os.path.exists(_CPU_BASELINE_FILE):
+        with open(_CPU_BASELINE_FILE) as f:
+            baseline = json.load(f)["clips_per_s"]
+
+    clips_s = bench_tokenizer(batch_size=args.batch_size, iters=args.iters)
+    extras = {}
+    if not args.skip_ar:
+        try:
+            extras["ar_tokens_per_s"] = round(bench_ar_sampling(), 1)
+        except Exception as e:
+            extras["ar_tokens_per_s_error"] = str(e)
+
+    print(json.dumps({
+        "metric": "tokenizer_encode_decode_throughput",
+        "value": round(clips_s, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_s / baseline, 2) if baseline else None,
+        "extras": extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e10)
+NEG_INF = -1e10
 
 
 def top_k_top_p_filtering(
