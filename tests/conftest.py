@@ -1,0 +1,19 @@
+"""Test config: force an 8-device virtual CPU mesh (SURVEY.md §4).
+
+This is the TPU-native analogue of "test multi-node without a cluster": all
+sharding/collective behavior runs on 8 virtual CPU devices. Must run before
+any JAX backend initialization (the axon sitecustomize pins JAX_PLATFORMS to
+the single-chip TPU tunnel, so env vars alone don't work).
+"""
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,104 @@
+"""Config system + dataset/loader tests."""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from video_tokenizer_tpu.config import (
+    ConfigDict, apply_dotted_overrides, coerce_value, load_config,
+    substitute_vars,
+)
+from video_tokenizer_tpu.data import VideoDataset, VideoTransform, epoch_loader
+
+
+class TestConfig:
+    def test_var_substitution(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("a: $x$\nb:\n  c: $y$\n")
+        cfg = load_config(str(p), variables={"x": 5, "y": "hello"})
+        assert cfg.a == 5
+        assert cfg.b.c == "hello"
+
+    def test_dotted_overrides_with_coercion(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("model:\n  args:\n    lr: 0.1\n    flag: false\n")
+        cfg = load_config(
+            str(p),
+            opts=["model.args.lr", "0.0001", "model.args.flag", "true",
+                  "model.args.new_key", "7", "deep.new.path", "x"],
+        )
+        assert cfg.model.args.lr == 0.0001
+        assert cfg.model.args.flag is True
+        assert cfg.model.args.new_key == 7
+        assert cfg.deep.new.path == "x"
+
+    def test_coerce(self):
+        assert coerce_value("true") is True
+        assert coerce_value("False") is False
+        assert coerce_value("3") == 3
+        assert coerce_value("3.5") == 3.5
+        assert coerce_value("none") is None
+        assert coerce_value("hello") == "hello"
+
+    def test_odd_opts_raises(self):
+        with pytest.raises(ValueError):
+            apply_dotted_overrides({}, ["a.b"])
+
+    def test_attribute_access_and_to_dict(self):
+        cfg = ConfigDict({"a": {"b": [1, {"c": 2}]}})
+        assert cfg.a.b[1].c == 2
+        d = cfg.to_dict()
+        assert isinstance(d["a"], dict) and not isinstance(d["a"], ConfigDict)
+
+
+class TestFakeDataset:
+    def test_null128(self):
+        ds = VideoDataset(
+            root_path="/tmp", frame_num=4, cls_vid_num="-1_-1",
+            crop_size=16, csv_file="null128", split="train",
+        )
+        assert len(ds) == 128
+        assert ds.num_classes == 101
+        item = ds[0]
+        assert item["gt"].shape == (3, 4, 16, 16)
+        assert item["gt"].dtype == np.float32
+        assert 0.0 <= item["gt"].min() and item["gt"].max() <= 1.0
+        assert item["label"] == 0 and ds[5]["label"] == 5
+
+    def test_loader_batches(self):
+        ds = VideoDataset(
+            root_path="/tmp", frame_num=4, cls_vid_num="-1_-1",
+            crop_size=16, csv_file="null128", split="train",
+        )
+        it = epoch_loader(ds, batch_size=16, num_workers=0, seed=0)
+        batches = list(it)
+        assert len(batches) == 8
+        assert batches[0]["gt"].shape == (16, 3, 4, 16, 16)
+
+    def test_csv_dataset_parsing(self, tmp_path):
+        csv = tmp_path / "mini_test.csv"
+        rows = ["id,path,action,label"]
+        for i, (act, lbl) in enumerate([("A", 0), ("A", 0), ("B", 1)]):
+            rows.append(f"{i},/fake/v_{act}_g0{i}.avi,{act},{lbl}")
+        csv.write_text("\n".join(rows))
+        ds = VideoDataset(
+            root_path=str(tmp_path), frame_num=4, cls_vid_num="-1_1",
+            crop_size=16, csv_file="mini_test.csv", split="train",
+        )
+        # vid_num=1 per class -> 2 videos
+        assert len(ds) == 2
+
+
+class TestVideoTransform:
+    def test_eval_resize_center_crop(self):
+        tfm = VideoTransform(crop_size=8, eval_tfm=True)
+        v = np.random.rand(3, 2, 20, 30).astype(np.float32)
+        out = tfm(v)
+        assert out.shape == (3, 2, 8, 8)
+
+    def test_train_random_resized_crop(self):
+        tfm = VideoTransform(crop_size=8, scale=0.8, ratio=1.0, eval_tfm=False)
+        v = np.random.rand(3, 2, 16, 16).astype(np.float32)
+        out = tfm(v, np.random.RandomState(0))
+        assert out.shape == (3, 2, 8, 8)

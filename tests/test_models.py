@@ -1,0 +1,229 @@
+"""Model tests: tokenizer round trips, bottlenecks, AR KV-cache equivalence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import video_tokenizer_tpu.models  # noqa: F401 (register)
+from video_tokenizer_tpu.models import LARPTokenizer
+from video_tokenizer_tpu.models.bottleneck import SimpleVectorQuantizer
+from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
+from video_tokenizer_tpu.generation import generate, top_k_top_p_filtering
+
+
+VQ_SPEC = {
+    "name": "bottleneck",
+    "args": {
+        "bottleneck_dim": 8,
+        "norm": "none",
+        "regularizer": {
+            "name": "vq",
+            "args": {
+                "codebook_size": 256,
+                "l2_normalized": True,
+                "stochastic": True,
+                "stochastic_temperature": 0.03,
+            },
+        },
+    },
+}
+
+
+def tiny_tokenizer(**kw):
+    args = dict(
+        bottleneck=VQ_SPEC, prior_model={"name": "none"},
+        bottleneck_token_num=16, input_size=32, frame_num=8,
+        temporal_patch_size=4, patch_size=8,
+        decoder_temporal_patch_size=4, decoder_patch_size=8,
+        bottleneck_type="vq", encoder_hidden_size=64, decoder_hidden_size=64,
+        encoder_num_heads=4, decoder_num_heads=4,
+        encoder_depth=1, decoder_depth=1,
+    )
+    args.update(kw)
+    return LARPTokenizer(**args)
+
+
+class TestTokenizer:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = tiny_tokenizer()
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 32, 32))
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)},
+            x, train=True,
+        )
+        return model, params, x
+
+    def test_forward_shapes(self, model_and_params):
+        model, params, x = model_and_params
+        out = model.apply(params, x, train=True, rngs={"vq": jax.random.PRNGKey(3)})
+        assert out["pred_frames"].shape == x.shape
+        assert out["bottleneck_rep"].shape == (2, 16)
+        assert out["bottleneck_rep"].dtype == jnp.int32
+
+    def test_decode_from_bottleneck_consistency(self, model_and_params):
+        """decode(encoded) == decode_from_bottleneck(indices) for VQ."""
+        model, params, x = model_and_params
+        enc = model.apply(params, x, method=model.encode)
+        v1 = model.apply(params, enc["encoded"], method=model.decode)
+        v2 = model.apply(params, enc["bottleneck_rep"], method=model.decode_from_bottleneck)
+        assert np.allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+    def test_eval_deterministic(self, model_and_params):
+        model, params, x = model_and_params
+        a = model.apply(params, x, method=model.encode)["bottleneck_rep"]
+        b = model.apply(params, x, method=model.encode)["bottleneck_rep"]
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fewer_frames_eval(self, model_and_params):
+        model, params, _ = model_and_params
+        x4 = jax.random.uniform(jax.random.PRNGKey(5), (2, 3, 4, 32, 32))
+        enc = model.apply(params, x4, method=model.encode_eval)
+        vid = model.apply(
+            params, enc["encoded"], enc["num_x_tokens"], method=model.decode_eval
+        )
+        assert vid.shape == (2, 3, 4, 32, 32)
+
+    def test_unpatchify_inverts_patchify(self, model_and_params):
+        model, params, x = model_and_params
+        b, c, t, h, w = x.shape
+        import einops
+
+        tokens = einops.rearrange(
+            x, "b c (t pt) (h p1) (w p2) -> b (t h w) (pt p1 p2 c)", pt=4, p1=8, p2=8
+        )
+        back = model.unpatchify(tokens)
+        assert np.allclose(np.asarray(back), np.asarray(x))
+
+    def test_grad_flows_to_encoder_through_vq(self, model_and_params):
+        model, params, x = model_and_params
+
+        def loss(p):
+            out = model.apply(
+                {"params": p}, x, train=True, rngs={"vq": jax.random.PRNGKey(3)}
+            )
+            return jnp.mean(out["pred_frames"] ** 2) + out["loss_q"]
+
+        g = jax.grad(loss)(params["params"])
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(t**2) for t in jax.tree_util.tree_leaves(g))
+        )
+        assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+        # STE: the patch-embed projection receives gradient despite quantization
+        pe_g = g["x_embedder"]["proj"]["kernel"]
+        assert float(jnp.abs(pe_g).max()) > 0
+
+
+class TestTokenizerFSQ:
+    def test_fsq_bottleneck_roundtrip(self):
+        model = tiny_tokenizer(bottleneck_type="fsq", fsq_levels=(8, 5, 5))
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 8, 32, 32))
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)}, x
+        )
+        out = model.apply(params, x)
+        assert out["bottleneck_rep"].shape == (1, 16)
+        v = model.apply(params, out["bottleneck_rep"], method=model.decode_from_bottleneck)
+        assert v.shape == x.shape
+
+
+class TestVQModule:
+    def test_codebook_l2_normalized(self):
+        vq = SimpleVectorQuantizer(dim=8, codebook_size=32, l2_normalized=True)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+        variables = vq.init({"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)}, z)
+        out = vq.apply(variables, z)
+        norms = np.linalg.norm(np.asarray(out["emb"]), axis=-1)
+        assert np.allclose(norms, 1.0, atol=1e-5)
+        # quantized vectors are unit norm too
+        qn = np.linalg.norm(np.asarray(out["regularized_z"]), axis=-1)
+        assert np.allclose(qn, 1.0, atol=1e-4)
+
+    def test_commit_loss_positive(self):
+        vq = SimpleVectorQuantizer(dim=8, codebook_size=32)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+        variables = vq.init({"params": jax.random.PRNGKey(1)}, z)
+        out = vq.apply(variables, z)
+        assert float(out["loss_commit"]) > 0
+        assert np.allclose(float(out["loss_commit"]), float(out["loss_codebook"]))
+
+
+class TestAR:
+    @pytest.fixture(scope="class")
+    def ar(self):
+        cfg = ModelArgs(
+            dim=64, n_layer=2, n_head=4, n_kv_head=2, vocab_size=32,
+            num_classes=5, max_seq_len=12, token_dropout_p=0.0,
+            resid_dropout_p=0.0, ffn_dropout_p=0.0,
+        )
+        model = LARP_AR(cfg)
+        cond = jnp.array([0, 1])
+        idx = jnp.zeros((2, 11), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, idx, cond)
+        return model, variables
+
+    def test_train_forward_loss(self, ar):
+        model, variables = ar
+        idx = jax.random.randint(jax.random.PRNGKey(1), (2, 11), 0, 32)
+        tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 12), 0, 32)
+        logits, loss = model.apply(variables, idx, jnp.array([0, 1]), targets=tgt)
+        assert logits.shape == (2, 12, 32)
+        assert np.isfinite(float(loss))
+
+    def test_kv_cache_matches_teacher_forcing(self, ar):
+        """Greedy incremental decode == repeated full teacher-forced argmax."""
+        model, variables = ar
+        cond = jnp.array([2, 3])
+        seq = generate(
+            model, variables, cond, 8, jax.random.PRNGKey(0), sample_logits=False
+        )
+        cur = jnp.zeros((2, 0), jnp.int32)
+        for _ in range(8):
+            lg, _ = model.apply(variables, cur, cond)
+            nxt = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)
+            cur = jnp.concatenate([cur, nxt[:, None]], 1)
+        assert np.array_equal(np.asarray(cur), np.asarray(seq))
+
+    def test_cfg_generation_runs(self, ar):
+        model, variables = ar
+        seq = generate(
+            model, variables, jnp.array([1, 4]), 6, jax.random.PRNGKey(1),
+            cfg_scale=2.0, top_k=5, top_p=0.9,
+        )
+        assert seq.shape == (2, 6)
+        assert ((np.asarray(seq) >= 0) & (np.asarray(seq) < 32)).all()
+
+    def test_valid_mask_loss(self, ar):
+        model, variables = ar
+        idx = jnp.zeros((2, 11), jnp.int32)
+        tgt = jnp.zeros((2, 12), jnp.int32)
+        _, loss_all = model.apply(
+            variables, idx, jnp.array([0, 1]), targets=tgt,
+            valid=jnp.array([1.0, 1.0]),
+        )
+        _, loss_one = model.apply(
+            variables, idx, jnp.array([0, 1]), targets=tgt,
+            valid=jnp.array([1.0, 0.0]),
+        )
+        assert np.isfinite(float(loss_all)) and np.isfinite(float(loss_one))
+
+
+class TestTopKTopP:
+    def test_top_k(self):
+        logits = jnp.array([[1.0, 5.0, 3.0, 2.0]])
+        f = top_k_top_p_filtering(logits, top_k=2)
+        assert np.asarray(f[0, 1]) == 5.0 and np.asarray(f[0, 2]) == 3.0
+        assert np.asarray(f[0, 0]) < -1e9 and np.asarray(f[0, 3]) < -1e9
+
+    def test_top_p_keeps_first_above_threshold(self):
+        logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+        f = np.asarray(top_k_top_p_filtering(logits, top_p=0.6))
+        # 0.5 < 0.6 -> keep; 0.5+0.3=0.8 crosses -> keep first crossing (0.3)
+        assert f[0, 0] > -1e9 and f[0, 1] > -1e9
+        assert f[0, 2] < -1e9 and f[0, 3] < -1e9
+
+    def test_top_p_one_is_noop(self):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (2, 10))
+        assert np.allclose(
+            np.asarray(top_k_top_p_filtering(logits, top_p=1.0)), np.asarray(logits)
+        )

@@ -1,0 +1,146 @@
+"""Unit tests: attention fallback, VQ lookup, FSQ round trips, sincos PEs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_tokenizer_tpu.ops import sincos
+from video_tokenizer_tpu.ops.attention import attention, xla_attention
+from video_tokenizer_tpu.ops.vq import vq_lookup
+from video_tokenizer_tpu.models.fsq import FSQ
+
+
+class TestSincos:
+    def test_1d_matches_closed_form(self):
+        D = 8
+        pe = sincos.sincos_1d(D, np.arange(4))
+        omega = 1.0 / 10000 ** (np.arange(D // 2) / (D / 2))
+        # layout: [sin | cos]
+        assert np.allclose(pe[2, : D // 2], np.sin(2 * omega), atol=1e-6)
+        assert np.allclose(pe[2, D // 2 :], np.cos(2 * omega), atol=1e-6)
+        assert np.allclose(pe[0], np.concatenate([np.zeros(D // 2), np.ones(D // 2)]))
+
+    def test_3d_shape_and_structure(self):
+        pe = sincos.sincos_3d(16, grid_size=4, frame_num=2)
+        assert pe.shape == (2 * 16, 16)
+        # temporal offset applies uniformly per frame
+        delta = pe[16:] - pe[:16]
+        assert np.allclose(delta, delta[0], atol=1e-6)
+
+    def test_scale_factor(self):
+        a = sincos.sincos_1d(8, np.arange(4), 10000)
+        b = sincos.sincos_1d(8, np.arange(4), 100)
+        assert not np.allclose(a, b)
+
+
+class TestAttention:
+    def test_xla_softmax_correctness(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 1, 4))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 1, 4))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 1, 4))
+        out = xla_attention(q, k, v)
+        logits = np.einsum("bqhd,bkhd->bqk", q, k) * (4**-0.5)
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("bqk,bkhd->bqhd", p, v)
+        assert np.allclose(out, ref, atol=1e-5)
+
+    def test_causal_masks_future(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 1, 4))
+        k, v = q, q
+        out = xla_attention(q, k, v, causal=True)
+        # first position can only attend to itself
+        assert np.allclose(out[0, 0], v[0, 0], atol=1e-5)
+
+    def test_segment_ids_block_cross_attention(self):
+        B, S, H, D = 1, 6, 1, 4
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+        seg = jnp.array([[0, 0, 0, 1, 1, 1]])
+        out = xla_attention(q, q, q, segment_ids=seg)
+        out_first = xla_attention(q[:, :3], q[:, :3], q[:, :3])
+        assert np.allclose(out[:, :3], out_first, atol=1e-5)
+
+    def test_dispatcher_cpu_matches_xla(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 2, 8))
+        out = attention(q, q, q)  # auto-selects XLA on CPU
+        assert np.allclose(out, xla_attention(q, q, q))
+
+
+class TestVQLookup:
+    def test_l2_argmin(self):
+        z = jax.random.normal(jax.random.PRNGKey(0), (50, 6))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (100, 6))
+        idx = vq_lookup(z, emb, metric="l2")
+        d = ((np.asarray(z)[:, None] - np.asarray(emb)[None]) ** 2).sum(-1)
+        assert np.array_equal(np.asarray(idx), d.argmin(1))
+
+    def test_cos_argmax(self):
+        z = jax.random.normal(jax.random.PRNGKey(0), (50, 6))
+        z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        emb = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        idx = vq_lookup(z, emb, metric="cos")
+        assert np.array_equal(np.asarray(idx), np.asarray(z @ emb.T).argmax(1))
+
+    def test_stochastic_matches_softmax_distribution(self):
+        K = 8
+        emb = jax.random.normal(jax.random.PRNGKey(1), (K, 4))
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        z = jnp.tile(emb[:1], (4000, 1))
+        idx = vq_lookup(
+            z, emb, metric="cos", stochastic=True, inv_temp=2.0,
+            key=jax.random.PRNGKey(2),
+        )
+        emp = np.bincount(np.asarray(idx), minlength=K) / 4000
+        true = np.asarray(jax.nn.softmax(2.0 * (z[0] @ emb.T)))
+        assert np.abs(emp - true).sum() / 2 < 0.06
+
+    def test_batch_shape_preserved(self):
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 4))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+        assert vq_lookup(z, emb, metric="l2").shape == (2, 7)
+
+
+class TestFSQ:
+    def test_roundtrip_indices_codes(self):
+        fsq = FSQ([8, 8, 8, 5, 5, 5])
+        assert fsq.codebook_size == 8 * 8 * 8 * 5 * 5 * 5
+        indices = jnp.arange(0, fsq.codebook_size, 997)
+        codes = fsq.indices_to_codes(indices)
+        back = fsq.codes_to_indices(codes)
+        assert np.array_equal(np.asarray(back), np.asarray(indices))
+
+    def test_quantize_output_is_valid_code(self):
+        fsq = FSQ([8, 5])
+        z = jax.random.normal(jax.random.PRNGKey(0), (100, 2)) * 3
+        q = fsq.quantize(z)
+        idx = fsq.codes_to_indices(q)
+        assert ((idx >= 0) & (idx < 40)).all()
+        assert np.allclose(np.asarray(fsq.indices_to_codes(idx)), np.asarray(q), atol=1e-6)
+
+    def test_ste_gradient(self):
+        fsq = FSQ([8, 5])
+
+        def f(z):
+            return jnp.sum(fsq.quantize(z) ** 2)
+
+        g = jax.grad(f)(jnp.array([[0.3, -0.2]]))
+        assert np.isfinite(np.asarray(g)).all()
+        assert not np.allclose(np.asarray(g), 0)
+
+
+class TestLeech:
+    def test_golay_weight_distribution(self):
+        from video_tokenizer_tpu.utils.leech import golay_codewords
+
+        C = golay_codewords()
+        w = C.sum(1)
+        counts = {int(k): int((w == k).sum()) for k in np.unique(w)}
+        assert counts == {0: 1, 8: 759, 12: 2576, 16: 759, 24: 1}
+
+    def test_leech_minimal_vectors(self):
+        from video_tokenizer_tpu.utils.leech import leech_minimal_vectors
+
+        V = leech_minimal_vectors()
+        assert V.shape == (196_560, 24)
+        assert ((V.astype(np.int32) ** 2).sum(1) == 32).all()
