@@ -1,0 +1,217 @@
+"""Class-conditional / frame-prediction sampling CLI with FVD scoring.
+
+Re-expresses `/root/reference/sample.py`: loads AR prior + tokenizer from
+checkpoints, samples class-conditional videos (classes drawn from the eval
+dataset's label stream, seeded subset split for multi-job sharding,
+sample.py:136-139), decodes codes back to pixels, accumulates I3D
+FeatureStats for generated and real clips, writes mp4s asynchronously, and
+coordinates multiple jobs via FileLock flag files counting .pkl stat shards —
+final FVD from merged stats appended to fvd_report.csv under lock
+(sample.py:459-517).
+
+The per-batch pipeline (AR sampling -> decode) is fully compiled: one jitted
+prefill+scan program (generation.generate) plus one jitted decode.
+"""
+from __future__ import annotations
+
+import argparse
+import csv as _csv
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+from filelock import FileLock
+
+import video_tokenizer_tpu.models  # noqa: F401
+import video_tokenizer_tpu.data  # noqa: F401
+from video_tokenizer_tpu.generation import generate
+from video_tokenizer_tpu.metrics.fvd import FeatureStats, FVDCalculator
+from video_tokenizer_tpu.registry import datasets
+from video_tokenizer_tpu.utils.model_io import load_model_from_checkpoint
+
+
+def write_video_mp4(video_chw: np.ndarray, path: str, fps: int = 25):
+    """video: [C, T, H, W] float in [0,1] -> mp4 (cv2)."""
+    import cv2
+
+    c, t, h, w = video_chw.shape
+    vw = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for i in range(t):
+        frame = np.clip(video_chw[:, i].transpose(1, 2, 0) * 255, 0, 255).astype(
+            np.uint8
+        )
+        vw.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    video_dir = out_dir / "videos"
+    video_dir.mkdir(exist_ok=True)
+
+    dataset = datasets.make(
+        {
+            "name": "video_dataset",
+            "args": {
+                "root_path": args.root_path,
+                "csv_file": args.csv_file,
+                "frame_num": args.frame_num,
+                "crop_size": args.input_size,
+                "cls_vid_num": "-1_-1",
+                "split": "test",
+                "use_all_frames": args.use_all_frames,
+            },
+        }
+    )
+    # seeded subset for multi-job sharding (reference sample.py:136-139)
+    rng = np.random.RandomState(args.split_seed)
+    order = rng.permutation(len(dataset))
+    end = (
+        args.starting_index + args.num_samples
+        if args.num_samples > 0
+        else len(order)
+    )
+    my_indices = order[args.starting_index : min(end, len(order))]
+
+    fvd = FVDCalculator(args.i3d_weights)
+    gen_stats = FeatureStats(capture_mean_cov=True)
+    real_stats = FeatureStats(capture_mean_cov=True)
+
+    decode_fn = jax.jit(
+        lambda p, seq: jnp.clip(
+            tokenizer.apply(p, seq, method=tokenizer.decode_from_bottleneck
+                            ).astype(jnp.float32), 0.0, 1.0)
+    )
+
+    executor = ThreadPoolExecutor(max_workers=4)
+    futures = []
+    key = jax.random.PRNGKey(args.seed)
+    n_done = 0
+    t_start = time.time()
+    bs = args.batch_size
+    for i in range(0, len(my_indices), bs):
+        idx_chunk = my_indices[i : i + bs]
+        if len(idx_chunk) < bs:
+            break  # static shapes: drop ragged tail (counted in stats via num_samples)
+        items = [dataset[j] for j in idx_chunk]
+        labels = jnp.asarray([it["label"] for it in items], jnp.int32)
+        reals = np.stack([it["gt"] for it in items])
+
+        key, sub = jax.random.split(key)
+        seq = generate(
+            ar_model, {"params": ar_params}, labels,
+            ar_model.max_seq_length, sub,
+            cfg_scale=args.cfg_scale, cfg_interval=args.cfg_interval,
+            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        )
+        videos = np.asarray(decode_fn({"params": tok_params}, seq))
+
+        gen_stats = fvd.get_feature_stats_for_batch(jnp.asarray(videos), gen_stats)
+        real_stats = fvd.get_feature_stats_for_batch(jnp.asarray(reals), real_stats)
+
+        if args.save_videos:
+            for b, j in enumerate(idx_chunk):
+                path = str(video_dir / f"sample_{int(j):06d}_cls{int(labels[b])}.mp4")
+                futures.append(executor.submit(write_video_mp4, videos[b], path))
+        n_done += bs
+        sps = n_done / (time.time() - t_start)
+        print(f"[{n_done}/{len(my_indices)}] Samples per second: {sps:.3f}")
+
+    for f in futures:
+        f.result()
+    executor.shutdown()
+
+    job_tag = f"{args.starting_index}"
+    gen_stats.save(out_dir / f"gen_stats_{job_tag}.pkl")
+    real_stats.save(out_dir / f"real_stats_{job_tag}.pkl")
+    return gen_stats, real_stats, out_dir
+
+
+def finalize_multi_job(args, out_dir: Path):
+    """FileLock rendezvous: last job to finish merges all stats -> FVD."""
+    lock = FileLock(str(out_dir / "rendezvous.lock"))
+    n_jobs = max(args.num_jobs, 1)
+    with lock:
+        done_flags = list(out_dir.glob("gen_stats_*.pkl"))
+        if len(done_flags) < n_jobs:
+            print(f"waiting: {len(done_flags)}/{n_jobs} jobs done; exiting")
+            return None
+        gen = None
+        real = None
+        for p in sorted(out_dir.glob("gen_stats_*.pkl")):
+            s = FeatureStats.load(p)
+            gen = s if gen is None else gen + s
+        for p in sorted(out_dir.glob("real_stats_*.pkl")):
+            s = FeatureStats.load(p)
+            real = s if real is None else real + s
+        fvd_calc = FVDCalculator(args.i3d_weights)
+        fvd = fvd_calc.calculate_fvd(gen, real)
+        print(f"FVD ({gen.num_items} gen / {real.num_items} real): {fvd:.4f}")
+
+        report = out_dir.parent / "fvd_report.csv"
+        with FileLock(str(report) + ".lock"):
+            exists = report.exists()
+            with open(report, "a", newline="") as f:
+                w = _csv.writer(f)
+                if not exists:
+                    w.writerow(
+                        ["time", "ar_model", "tokenizer", "cfg_scale", "top_k",
+                         "top_p", "temperature", "num_samples", "fvd"]
+                    )
+                w.writerow(
+                    [time.strftime("%Y-%m-%d %H:%M:%S"), args.ar_model,
+                     args.tokenizer, args.cfg_scale, args.top_k, args.top_p,
+                     args.temperature, gen.num_items, f"{fvd:.4f}"]
+                )
+        return fvd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ar_model", required=True, help="AR checkpoint dir")
+    ap.add_argument("--ar_version", default="sd")
+    ap.add_argument("--tokenizer", required=True, help="tokenizer checkpoint dir")
+    ap.add_argument("--tokenizer_version", default="sd")
+    ap.add_argument("--output_dir", default="save/samples")
+    ap.add_argument("--root_path", default="data/metadata")
+    ap.add_argument("--csv_file", default="ucf101_val.csv")
+    ap.add_argument("--frame_num", type=int, default=16)
+    ap.add_argument("--input_size", type=int, default=128)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--cfg_scale", type=float, default=1.25)
+    ap.add_argument("--cfg_interval", type=int, default=-1)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--top_k", type=int, default=0)
+    ap.add_argument("--top_p", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--split_seed", type=int, default=1234)
+    ap.add_argument("--starting_index", type=int, default=0)
+    ap.add_argument("--num_samples", type=int, default=-1,
+                    help="samples for THIS job (-1: all)")
+    ap.add_argument("--num_jobs", type=int, default=1)
+    ap.add_argument("--use_all_frames", action="store_true")
+    ap.add_argument("--save_videos", action="store_true")
+    ap.add_argument("--i3d_weights", default=None)
+    args = ap.parse_args()
+
+    ar_model, ar_params = load_model_from_checkpoint(args.ar_model, args.ar_version)
+    tokenizer, tok_params = load_model_from_checkpoint(
+        args.tokenizer, args.tokenizer_version
+    )
+    _, _, out_dir = sample_videos(args, ar_model, ar_params, tokenizer, tok_params)
+    finalize_multi_job(args, out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -304,6 +304,18 @@ class _ARTrainerBase(BaseTrainer):
         img = np.clip(np.transpose(grid, (1, 2, 0)) * 255, 0, 255).astype(np.uint8)
         cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
 
+    def checkpoint_meta(self):
+        meta = super().checkpoint_meta()
+        meta["model"] = {
+            "name": self.cfg["model"]["name"],
+            "args": {
+                k: v
+                for k, v in dataclasses.asdict(self.model_cfg).items()
+            },
+        }
+        meta["vae"] = self.cfg["vae"].to_dict()
+        return meta
+
     def state_for_checkpoint(self):
         return self.state
 

@@ -391,6 +391,11 @@ class LARPTokenizerTrainer(BaseTrainer):
 
     # ----------------------------------------------------------- checkpoints
 
+    def checkpoint_meta(self):
+        meta = super().checkpoint_meta()
+        meta["model"] = self.cfg["model"].to_dict()
+        return meta
+
     def state_for_checkpoint(self):
         return self.state
 
