@@ -17,3 +17,5 @@ from .larp_ar import LARP_AR, ModelArgs  # noqa: F401
 from .gptc import GPTC, GPTCConfig  # noqa: F401
 from .loss import VQLPIPSWithDiscriminator, TransformerDiscriminator  # noqa: F401
 from .lpips import LPIPS  # noqa: F401
+from . import model_new  # noqa: F401
+from .model_new import RoPEAutoEncoder, RoPEEncoder, RoPEDecoder  # noqa: F401
