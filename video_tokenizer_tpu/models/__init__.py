@@ -19,3 +19,4 @@ from .loss import VQLPIPSWithDiscriminator, TransformerDiscriminator  # noqa: F4
 from .lpips import LPIPS  # noqa: F401
 from . import model_new  # noqa: F401
 from .model_new import RoPEAutoEncoder, RoPEEncoder, RoPEDecoder  # noqa: F401
+from . import model_basic  # noqa: F401
