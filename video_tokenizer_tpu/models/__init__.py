@@ -20,3 +20,4 @@ from .lpips import LPIPS  # noqa: F401
 from . import model_new  # noqa: F401
 from .model_new import RoPEAutoEncoder, RoPEEncoder, RoPEDecoder  # noqa: F401
 from . import model_basic  # noqa: F401
+from . import model_stat  # noqa: F401

@@ -212,6 +212,14 @@ class VQLPIPSWithDiscriminator(nn.Module):
         )
         return {"loss_prior": jnp.mean(p)}
 
+    def perceptual_per_sample(self, inputs, reconstructions):
+        """Per-sample LPIPS [B] (frame-mean), for the STAT content prior."""
+        B = inputs.shape[0]
+        p = self.lpips(
+            self._frames(inputs), self._frames(reconstructions), normalize=True
+        )
+        return p.reshape(B, -1).mean(axis=1)
+
     def generator_loss(
         self, inputs, reconstructions, global_step
     ) -> Tuple[jax.Array, Dict[str, Any]]:

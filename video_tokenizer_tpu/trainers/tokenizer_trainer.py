@@ -191,6 +191,16 @@ class LARPTokenizerTrainer(BaseTrainer):
 
     # ------------------------------------------------------------- step impl
 
+    def _apply_model(self, params, data, train, rng):
+        """Model forward hook; subclasses may add rng streams / kwargs."""
+        return self.model.apply(
+            {"params": params}, data, train=train, rngs={"vq": rng}
+        )
+
+    def _generator_extra_loss(self, diff, data, loss_params, loss_ema, rng):
+        """Extra generator-loss hook (e.g. STATLoss). Returns (loss, info)."""
+        return jnp.asarray(0.0), {}
+
     def _step_impl(self, state, batch, epoch, is_train: bool):
         data = batch["gt"].astype(jnp.float32)
         rng = state["rng"]
@@ -200,11 +210,9 @@ class LARPTokenizerTrainer(BaseTrainer):
 
         # --- single tokenizer forward, VJP residuals retained
         def model_fwd(params):
-            out = self.model.apply(
-                {"params": params}, data, train=is_train, rngs={"vq": r_vq}
-            )
+            out = self._apply_model(params, data, is_train, r_vq)
             diff = {"pred_frames": out["pred_frames"].astype(jnp.float32)}
-            for k in ("loss_q", "loss_kl", "loss_latent_ce", "align_loss"):
+            for k in ("loss_q", "loss_kl", "loss_latent_ce", "align_loss", "probs"):
                 if k in out:
                     diff[k] = out[k].astype(jnp.float32)
             aux = {
@@ -280,6 +288,11 @@ class LARPTokenizerTrainer(BaseTrainer):
             if "loss_latent_ce" in diff:
                 total = total + diff["loss_latent_ce"] * self.loss_latent_ce_weight
                 ginfo["loss_latent_ce"] = diff["loss_latent_ce"]
+            extra_loss, extra_info = self._generator_extra_loss(
+                diff, data, loss_params, loss_ema, r_gan_g
+            )
+            total = total + extra_loss
+            ginfo.update(extra_info)
             return total, ginfo
 
         if is_train:
