@@ -21,3 +21,5 @@ from . import model_new  # noqa: F401
 from .model_new import RoPEAutoEncoder, RoPEEncoder, RoPEDecoder  # noqa: F401
 from . import model_basic  # noqa: F401
 from . import model_stat  # noqa: F401
+from . import cosmos  # noqa: F401
+from .cosmos import CosmosVideoTokenizer, SimVQ  # noqa: F401
