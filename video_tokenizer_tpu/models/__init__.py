@@ -23,3 +23,5 @@ from . import model_basic  # noqa: F401
 from . import model_stat  # noqa: F401
 from . import cosmos  # noqa: F401
 from .cosmos import CosmosVideoTokenizer, SimVQ  # noqa: F401
+from . import model_titok  # noqa: F401
+from .model_titok import TiTok  # noqa: F401

@@ -78,15 +78,24 @@ def _axes_dims(head_dim: int, n_axes: int) -> List[int]:
 
 
 def mrope_cos_sin(
-    in_tokens: int, in_grid: Sequence[int], head_dim: int, theta: float = 10000.0
+    in_tokens: int, in_grid: Sequence[int], head_dim: int,
+    theta: float = 10000.0, interleave: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (cos, sin) float32 tables [L, head_dim/2]."""
+    """Returns (cos, sin) float32 tables [L, head_dim/2].
+
+    interleave=True uses the model_new THWTHW... layout (rope.py:86-103);
+    interleave=False concatenates per-axis tables (Lumina2/TiTok layout,
+    model_titok/base/rope.py:81-89).
+    """
     dims = _axes_dims(head_dim, len(in_grid))
     grid = mrope_grid(in_grid, in_tokens)
     tables = [
         rotary_angles_1d(dims[i], grid[:, i], theta) for i in range(len(dims))
     ]
-    angles = interleave_angle_tables(tables)
+    if interleave:
+        angles = interleave_angle_tables(tables)
+    else:
+        angles = np.concatenate(tables, axis=-1)
     return np.cos(angles).astype(np.float32), np.sin(angles).astype(np.float32)
 
 
