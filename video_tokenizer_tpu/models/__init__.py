@@ -25,3 +25,4 @@ from . import cosmos  # noqa: F401
 from .cosmos import CosmosVideoTokenizer, SimVQ  # noqa: F401
 from . import model_titok  # noqa: F401
 from .model_titok import TiTok  # noqa: F401
+from . import vfm  # noqa: F401

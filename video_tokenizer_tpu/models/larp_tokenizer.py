@@ -96,6 +96,10 @@ class LARPTokenizer(nn.Module):
     use_pallas: Optional[bool] = None
     remat: bool = False
     vq_eval_deterministic: bool = True
+    # 'larp_tokenizer_ablation' variant: LayerNorm on the 6-d FSQ projection
+    # AFTER fsq_in_linear instead of on the hidden state before it
+    # (reference models/larp_tokenizer_ablation.py:222,407-416)
+    fsq_norm_after_proj: bool = False
 
     @property
     def token_hw(self) -> int:
@@ -369,8 +373,12 @@ class LARPTokenizer(nn.Module):
             encoded = out.pop("output")
             return {"encoded": encoded, **out}
         if self.bottleneck_type == "fsq":
-            z = self.fsq_norm(z)
-            z = self.fsq_in_linear(z)
+            if self.fsq_norm_after_proj:
+                z = self.fsq_in_linear(z)
+                z = self.fsq_norm(z)
+            else:
+                z = self.fsq_norm(z)
+                z = self.fsq_in_linear(z)
             codes, info = self.fsq(z)
             encoded = self.fsq_out_linear(codes)
             return {
@@ -446,3 +454,16 @@ class LARPTokenizer(nn.Module):
         encode_output = self.encode(data, train=train)
         pred_frames = self.decode(encode_output["encoded"])
         return {"pred_frames": pred_frames, **encode_output}
+
+
+def _ablation_factory(**overrides):
+    """larp_tokenizer minus the 'sq' branch, FSQ-norm on the 6-d projection
+    (reference models/larp_tokenizer_ablation.py)."""
+    fields = set(LARPTokenizer.__dataclass_fields__)
+    args = {k: v for k, v in overrides.items() if k in fields}
+    args["fsq_norm_after_proj"] = True
+    assert args.get("bottleneck_type", "vq") != "sq", "ablation drops the sq branch"
+    return LARPTokenizer(**args)
+
+
+models.update({"larp_tokenizer_ablation": _ablation_factory})
