@@ -26,3 +26,5 @@ from .cosmos import CosmosVideoTokenizer, SimVQ  # noqa: F401
 from . import model_titok  # noqa: F401
 from .model_titok import TiTok  # noqa: F401
 from . import vfm  # noqa: F401
+from . import sem  # noqa: F401
+from . import model_cnnvit  # noqa: F401

@@ -1,0 +1,317 @@
+"""CNN-ViT hybrid family: 3D-ResNet stem + RoPE transformer + FSQ.
+
+Re-expresses `/root/reference/models/model_cnnvit/` (and its duplicate under
+`models/model_sem/autoencoder.py`):
+  * 3D ResNet stem (`Encoder_cnn`, base/cnnvit.py:102-192): conv_in ch=32,
+    ch_mult (1,2,4,4), per-level res blocks, downsample strides
+    (1,2,2)/(2,2,2)/(2,2,2) -> T/4, H/8, W/8, z_channels = transformer width;
+    mirrored `Decoder_cnn` (base/cnnvit.py:195-290) with nearest-neighbor
+    Upsample3D + conv.
+  * CNN features flattened, latent mask tokens prepended, M-RoPE gated
+    transformer (shared with model_new), FSQ bottleneck
+    (base/blocks.py:18-149).
+  * alignment variants (autoencoder.py:227+, auto1.py:349-760): the same
+    autoencoder with a frozen VJEPA2 teacher and either SoftKMeans-Gram-only
+    or Gram+VICReg pooled alignment (sem.py utilities).
+
+Registered: autoencoder_cnnvit, autoencoder_cnnvit_align,
+autoencoder_cnnvit_align1, autoencoder_cnnvit_softalign_gramonly_vjepa2,
+autoencoder_cnnvit_softalign_gram_vic_vjepa2.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import einops
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.rope import mrope_cos_sin
+from ..registry import models
+from .fsq import FSQ
+from .model_new import RoPEBlockStack, get_model_dims, _trunc02
+from .sem import SoftKMeans, vicreg_pooled_loss
+from .vfm import IMAGENET_MEAN, IMAGENET_STD, VJEPA2TeacherViT
+
+# internal conv layout: [B, T, H, W, C]
+
+
+class ResnetBlock3D(nn.Module):
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or x.shape[-1]
+        h = nn.GroupNorm(num_groups=32 if x.shape[-1] % 32 == 0 else 1, epsilon=1e-6, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3, 3), padding=1, name="conv1")(h)
+        h = nn.GroupNorm(num_groups=32 if out_ch % 32 == 0 else 1, epsilon=1e-6, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3, 3), padding=1, name="conv2")(h)
+        if x.shape[-1] != out_ch:
+            x = nn.Conv(out_ch, (1, 1, 1), name="nin_shortcut")(x)
+        return x + h
+
+
+class Downsample3D(nn.Module):
+    out_channels: int
+    stride: Tuple[int, int, int] = (2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (3, 3, 3), strides=self.stride, padding=1,
+            name="conv",
+        )(x)
+
+
+class Upsample3D(nn.Module):
+    scale_factor: Tuple[int, int, int] = (2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x):
+        st, sh, sw = self.scale_factor
+        x = jnp.repeat(jnp.repeat(jnp.repeat(x, st, 1), sh, 2), sw, 3)
+        return nn.Conv(x.shape[-1], (3, 3, 3), padding=1, name="conv")(x)
+
+
+class EncoderCNN(nn.Module):
+    """conv_in -> 4 levels of res blocks with (1,2,2)/(2,2,2)/(2,2,2) downs."""
+
+    ch: int = 32
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        strides = [(1, 2, 2), (2, 2, 2), (2, 2, 2)]
+        h = nn.Conv(self.ch, (3, 3, 3), padding=1, name="conv_in")(x)
+        for i, mult in enumerate(self.ch_mult):
+            out_ch = self.ch * mult
+            for j in range(self.num_res_blocks):
+                h = ResnetBlock3D(out_ch, name=f"level{i}_block{j}")(h)
+            if i < len(self.ch_mult) - 1:
+                h = Downsample3D(out_ch, strides[i], name=f"level{i}_down")(h)
+        return nn.Conv(self.z_channels, (3, 3, 3), padding=1, name="conv_out")(h)
+
+
+class DecoderCNN(nn.Module):
+    ch: int = 32
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, z):
+        up_scales = [(1, 2, 2), (2, 2, 2), (2, 2, 2)]
+        block_in = self.ch * self.ch_mult[-1]
+        h = nn.Conv(block_in, (3, 3, 3), padding=1, name="conv_in")(z)
+        n = len(self.ch_mult)
+        for li, i_level in enumerate(reversed(range(n))):
+            out_ch = self.ch * self.ch_mult[i_level]
+            for j in range(self.num_res_blocks):
+                h = ResnetBlock3D(out_ch, name=f"level{li}_block{j}")(h)
+            if i_level != 0:
+                h = Upsample3D(
+                    up_scales[n - 1 - i_level], name=f"level{li}_up"
+                )(h)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-6, name="norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(self.out_channels, (3, 3, 3), padding=1, name="conv_out")(h)
+
+
+class CNNViTAutoEncoder(nn.Module):
+    model_size: str = "base_thin"
+    fsq_levels: tuple = (8, 8, 8, 5, 5, 5)
+    num_latent_tokens: int = 1024
+    input_size: int = 128
+    frame_num: int = 16
+    in_channels: int = 3
+    cnn_ch: int = 32
+    align: str = "none"  # 'none' | 'gram' | 'gram_vic'
+    teacher_dim: int = 1024
+    teacher_depth: int = 8
+    teacher_heads: int = 16
+    vjepa2_img_size: int = 256
+    vjepa2_num_frames: int = 16
+    vjepa2_patch_size: int = 16
+    vjepa2_tubelet_size: int = 2
+    align_num_prototypes: int = 256
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None
+    bottleneck: Any = None
+    prior_model: Any = None
+
+    @property
+    def bottleneck_token_num(self) -> int:
+        return self.num_latent_tokens
+
+    @property
+    def codebook_size(self) -> int:
+        return int(np.prod(self.fsq_levels))
+
+    @property
+    def grid(self):
+        # CNN stem: T/4, H/8, W/8 (cnnvit.py:120-131)
+        return (
+            self.frame_num // 4, self.input_size // 8, self.input_size // 8
+        )
+
+    def setup(self):
+        width, depth, heads, mlp_ratio = get_model_dims(self.model_size)
+        self._width, self._depth, self._heads, self._mlp = (
+            width, depth, heads, mlp_ratio
+        )
+        self.cnn_encoder = EncoderCNN(
+            ch=self.cnn_ch, z_channels=width, name="cnn_encoder"
+        )
+        self.mask_token = self.param(
+            "mask_token", lambda k, s: width**-0.5 * jax.random.normal(k, s),
+            (1, 1, 1),
+        )
+        self.enc_blocks = RoPEBlockStack(
+            width, depth, heads, mlp_ratio, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="enc_blocks",
+        )
+        self.enc_proj_out = nn.Dense(
+            len(self.fsq_levels), kernel_init=_trunc02, name="enc_proj_out"
+        )
+        self.quantize = FSQ(self.fsq_levels)
+        self.dec_proj_in = nn.Dense(width, kernel_init=_trunc02, name="dec_proj_in")
+        self.dec_mask_token = self.param(
+            "dec_mask_token",
+            lambda k, s: width**-0.5 * jax.random.normal(k, s), (1, 1, 1),
+        )
+        self.dec_blocks = RoPEBlockStack(
+            width, depth, heads, mlp_ratio, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="dec_blocks",
+        )
+        self.cnn_decoder = DecoderCNN(
+            ch=self.cnn_ch, out_channels=self.in_channels, name="cnn_decoder"
+        )
+        if self.align != "none":
+            self.teacher = VJEPA2TeacherViT(
+                embed_dim=self.teacher_dim, depth=self.teacher_depth,
+                num_heads=self.teacher_heads, img_size=self.vjepa2_img_size,
+                num_frames=self.vjepa2_num_frames,
+                patch_size=self.vjepa2_patch_size,
+                tubelet_size=self.vjepa2_tubelet_size,
+                out_layers=(self.teacher_depth - 1,), dtype=self.dtype,
+                use_pallas=self.use_pallas, name="teacher_model",
+            )
+            self.align_proj = nn.Dense(self.teacher_dim, name="align_proj")
+            self.align_pool = SoftKMeans(
+                num_prototypes=self.align_num_prototypes, name="align_pool"
+            )
+
+    def _run_encoder(self, x):
+        h = jnp.transpose(x, (0, 2, 3, 4, 1))  # BTHWC
+        h = self.cnn_encoder(h)
+        B = h.shape[0]
+        feats = h.reshape(B, -1, self._width)
+        mask = jnp.broadcast_to(
+            self.mask_token.astype(feats.dtype),
+            (B, self.num_latent_tokens, self._width),
+        )
+        seq = jnp.concatenate([mask, feats], axis=1)
+        cos, sin = mrope_cos_sin(
+            self.num_latent_tokens, list(self.grid),
+            self._width // self._heads,
+        )
+        seq = self.enc_blocks(seq, jnp.asarray(cos), jnp.asarray(sin))
+        latents = seq[:, : self.num_latent_tokens]
+        return latents
+
+    def encode(self, x, train: bool = False) -> Dict[str, Any]:
+        latents = self._run_encoder(x)
+        z = self.enc_proj_out(latents.astype(jnp.float32))
+        x_q, info = self.quantize(z)
+        return {
+            "encoded": x_q,
+            "bottleneck_rep": info["indices"],
+            "latents": latents,
+            "loss_q": jnp.asarray(0.0),
+        }
+
+    def decode(self, x_q):
+        B = x_q.shape[0]
+        h = self.dec_proj_in(x_q.astype(self.dtype))
+        t, hh, ww = self.grid
+        gs = t * hh * ww
+        mask = jnp.broadcast_to(
+            self.dec_mask_token.astype(h.dtype), (B, gs, self._width)
+        )
+        seq = jnp.concatenate([h, mask], axis=1)
+        cos, sin = mrope_cos_sin(
+            self.num_latent_tokens, list(self.grid),
+            self._width // self._heads,
+        )
+        seq = self.dec_blocks(seq, jnp.asarray(cos), jnp.asarray(sin))
+        pix = seq[:, self.num_latent_tokens :]
+        vol = pix.reshape(B, t, hh, ww, self._width).astype(jnp.float32)
+        out = self.cnn_decoder(vol)
+        return jnp.transpose(out, (0, 4, 1, 2, 3))
+
+    def decode_from_bottleneck(self, indices):
+        return self.decode(
+            self.quantize.indices_to_codes(indices).astype(jnp.float32)
+        )
+
+    decode_indices = decode_from_bottleneck
+
+    def __call__(self, data, train: bool = False) -> Dict[str, Any]:
+        enc = self.encode(data, train=train)
+        pred = self.decode(enc["encoded"])
+        out = {"pred_frames": pred, **{k: v for k, v in enc.items() if k != "latents"}}
+        if self.align != "none":
+            B, C, T, H, W = data.shape
+            s = self.vjepa2_img_size
+            xt = data.astype(jnp.float32)
+            if (H, W) != (s, s):
+                xt = jax.image.resize(xt, (B, C, T, s, s), method="bilinear")
+            xt = (xt - IMAGENET_MEAN.reshape(1, 3, 1, 1, 1)) / IMAGENET_STD.reshape(1, 3, 1, 1, 1)
+            teacher_feats = jax.lax.stop_gradient(
+                self.teacher(jax.lax.stop_gradient(xt))[-1]
+            )
+            student = self.align_proj(enc["latents"].astype(jnp.float32))
+            rng = (
+                self.make_rng("kmeans")
+                if self.has_rng("kmeans")
+                else jax.random.PRNGKey(0)
+            )
+            r1, r2 = jax.random.split(rng)
+            s_proto = self.align_pool(student, r1)
+            t_proto = self.align_pool(teacher_feats, r2)
+            gram_loss = jnp.mean((s_proto - t_proto) ** 2)
+            align_loss = gram_loss
+            out["gram_loss"] = gram_loss
+            if self.align == "gram_vic":
+                vic, vic_info = vicreg_pooled_loss(student, teacher_feats)
+                align_loss = align_loss + 0.01 * vic
+                out.update(vic_info)
+            out["align_loss"] = align_loss
+        return out
+
+
+def _cnnvit_factory(align="none", **kw):
+    fields = set(CNNViTAutoEncoder.__dataclass_fields__)
+
+    def factory(**overrides):
+        args = dict(kw)
+        args.update({k: v for k, v in overrides.items() if k in fields})
+        args["align"] = align
+        return CNNViTAutoEncoder(**args)
+
+    return factory
+
+
+models.update({
+    "autoencoder_cnnvit": _cnnvit_factory("none"),
+    "autoencoder_cnnvit_align": _cnnvit_factory("gram"),
+    "autoencoder_cnnvit_align1": _cnnvit_factory("gram"),
+    "autoencoder_cnnvit_softalign_gramonly_vjepa2": _cnnvit_factory("gram"),
+    "autoencoder_cnnvit_softalign_gram_vic_vjepa2": _cnnvit_factory("gram_vic"),
+})
