@@ -28,3 +28,5 @@ from .model_titok import TiTok  # noqa: F401
 from . import vfm  # noqa: F401
 from . import sem  # noqa: F401
 from . import model_cnnvit  # noqa: F401
+from . import vfm_auto  # noqa: F401
+from . import discriminators  # noqa: F401

@@ -72,6 +72,28 @@ def ns_g_loss(logits_fake):
     return -jnp.mean(jax.nn.log_sigmoid(logits_fake))
 
 
+def relativistic_d_loss(logits_real, logits_fake):
+    """Relativistic pairing discriminator loss (reference
+    models/model/losses/loss_module.py:104-146): softplus(-(real - fake))."""
+    diff = logits_real - logits_fake
+    return jnp.mean(jax.nn.softplus(-diff))
+
+
+def relativistic_g_loss(logits_real, logits_fake):
+    diff = logits_fake - logits_real
+    return jnp.mean(jax.nn.softplus(-diff))
+
+
+def noise_gradient_penalty(disc_fn, x, rng, sigma: float = 0.01):
+    """Finite-difference R1/R2-style penalty (loss_module.py noise-based
+    variant): penalizes output change under small input noise — a cheaper,
+    jit-friendly surrogate for the exact gradient penalty."""
+    noise = sigma * jax.random.normal(rng, x.shape, x.dtype)
+    d0 = disc_fn(jax.lax.stop_gradient(x))
+    d1 = disc_fn(jax.lax.stop_gradient(x) + noise)
+    return jnp.mean((d1 - d0) ** 2) / (sigma**2)
+
+
 def lecam_reg(real_pred, fake_pred, ema_real_pred, ema_fake_pred):
     return jnp.mean(nn.relu(real_pred - ema_fake_pred) ** 2) + jnp.mean(
         nn.relu(ema_real_pred - fake_pred) ** 2
