@@ -144,47 +144,51 @@ class Attention(nn.Module):
         out = self.wo(out)
         return self.resid_dropout(out, deterministic=not train)
 
-    def prefill(self, x, k_cache, v_cache):
-        """Process S prompt tokens; returns (out, new_k, new_v) cache slices."""
+    def prefill(self, x, k_all, v_all, layer_idx: int):
+        """Process S prompt tokens; writes layer `layer_idx` of the stacked
+        cache IN PLACE (k_all/v_all: [L, B, S, Hkv, D], donated upstream)."""
         B, S, _ = x.shape
         q, k, v = self._split_qkv(x)
-        new_k = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype)[None], (layer_idx, 0, 0, 0, 0)
         )
-        new_v = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype)[None], (layer_idx, 0, 0, 0, 0)
         )
         if self.n_kv_head != self.n_head:
             rep = self.n_head // self.n_kv_head
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
         out = attention(q, k, v, causal=True).reshape(B, S, -1)
-        return self.wo(out), new_k, new_v
+        return self.wo(out), k_all, v_all
 
-    def decode_step(self, x, input_pos, k_cache, v_cache):
-        """One-token decode reading the cache. x: [B,1,dim]; pos scalar."""
+    def decode_step(self, x, input_pos, k_all, v_all, layer_idx: int):
+        """One-token decode; updates one (layer, pos) slot of the stacked
+        cache in place — no full-cache copies in the sampling loop."""
         B = x.shape[0]
         q, k, v = self._split_qkv(x)  # [B,1,H,D], [B,1,Hkv,D]
         pos = input_pos.astype(jnp.int32)
-        new_k = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype)[None], (layer_idx, 0, pos, 0, 0)
         )
-        new_v = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0)
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype)[None], (layer_idx, 0, pos, 0, 0)
         )
-        S = new_k.shape[1]
+        k_layer = k_all[layer_idx]
+        v_layer = v_all[layer_idx]
+        S = k_layer.shape[1]
         rep = self.n_head // self.n_kv_head
         qg = q.reshape(B, self.n_kv_head, rep, self.head_dim)
         scores = jnp.einsum(
             "bhgd,bshd->bhgs", qg.astype(jnp.float32),
-            new_k.astype(jnp.float32),
+            k_layer.astype(jnp.float32),
         ) * (self.head_dim ** -0.5)
         valid = jnp.arange(S)[None, None, None, :] <= pos
         scores = jnp.where(valid, scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhgs,bshd->bhgd", probs, new_v.astype(jnp.float32))
+        out = jnp.einsum("bhgs,bshd->bhgd", probs, v_layer.astype(jnp.float32))
         out = out.reshape(B, 1, self.n_head * self.head_dim).astype(x.dtype)
-        return self.wo(out), new_k, new_v
+        return self.wo(out), k_all, v_all
 
 
 class TransformerBlock(nn.Module):
@@ -207,17 +211,19 @@ class TransformerBlock(nn.Module):
             self.feed_forward(self.ffn_norm(h), train=train), train
         )
 
-    def prefill(self, x, k_cache, v_cache):
-        a, nk, nv = self.attention.prefill(self.attention_norm(x), k_cache, v_cache)
-        h = x + a
-        return h + self.feed_forward(self.ffn_norm(h)), nk, nv
-
-    def decode_step(self, x, input_pos, k_cache, v_cache):
-        a, nk, nv = self.attention.decode_step(
-            self.attention_norm(x), input_pos, k_cache, v_cache
+    def prefill(self, x, k_all, v_all, layer_idx: int):
+        a, k_all, v_all = self.attention.prefill(
+            self.attention_norm(x), k_all, v_all, layer_idx
         )
         h = x + a
-        return h + self.feed_forward(self.ffn_norm(h)), nk, nv
+        return h + self.feed_forward(self.ffn_norm(h)), k_all, v_all
+
+    def decode_step(self, x, input_pos, k_all, v_all, layer_idx: int):
+        a, k_all, v_all = self.attention.decode_step(
+            self.attention_norm(x), input_pos, k_all, v_all, layer_idx
+        )
+        h = x + a
+        return h + self.feed_forward(self.ffn_norm(h)), k_all, v_all
 
 
 @models.register("larp_ar")
@@ -343,14 +349,12 @@ class LARP_AR(nn.Module):
         h = self._cond_embeddings(cond_idx, train=False)
         T = h.shape[1]
         h = h + self.abs_pe[:, :T].astype(h.dtype)
-        new_k, new_v = [], []
+        k_all, v_all = cache["k"], cache["v"]
         for i, layer in enumerate(self.layers):
-            h, nk, nv = layer.prefill(h, cache["k"][i], cache["v"][i])
-            new_k.append(nk)
-            new_v.append(nv)
+            h, k_all, v_all = layer.prefill(h, k_all, v_all, i)
         h = self.norm(h)
         logits = self.output(h[:, -1:])
-        return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        return logits, {"k": k_all, "v": v_all}
 
     def decode_step(
         self, idx: jax.Array, input_pos: jax.Array, cache: Dict[str, jax.Array]
@@ -362,14 +366,12 @@ class LARP_AR(nn.Module):
             (1, 1, self.config.dim),
         )
         h = h + pe.astype(h.dtype)
-        new_k, new_v = [], []
+        k_all, v_all = cache["k"], cache["v"]
         for i, layer in enumerate(self.layers):
-            h, nk, nv = layer.decode_step(h, input_pos, cache["k"][i], cache["v"][i])
-            new_k.append(nk)
-            new_v.append(nv)
+            h, k_all, v_all = layer.decode_step(h, input_pos, k_all, v_all, i)
         h = self.norm(h)
         logits = self.output(h)
-        return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        return logits, {"k": k_all, "v": v_all}
 
 
 # ---------------------------------------------------------------- size zoo

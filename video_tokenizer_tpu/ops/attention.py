@@ -47,6 +47,7 @@ def _round_up(x: int, m: int) -> int:
 def _fwd_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
     *, sm_scale: float, causal: bool, block_k: int, kv_len: int, q_offset: int,
+    has_segments: bool, kv_padded: bool,
 ):
     """Grid: (B, H, num_q_blocks). q_ref: [block_q, D]; k/v_ref: [Sk_p, D]."""
     block_q, head_dim = q_ref.shape
@@ -54,6 +55,9 @@ def _fwd_kernel(
 
     q = q_ref[...].astype(jnp.float32)
     num_kb = pl.cdiv(kv_len, block_k)
+    # masking is elided entirely for full non-causal unpadded attention —
+    # the common tokenizer encode path — saving the per-block VPU mask work
+    need_mask = causal or has_segments or kv_padded
 
     m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
     l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
@@ -72,15 +76,17 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [block_q, block_k]
 
-        k_pos = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = k_pos < kv_len
-        if causal:
-            mask = jnp.logical_and(mask, q_pos >= k_pos)
-        kseg = kseg_ref[:, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
-        mask = jnp.logical_and(mask, qseg == kseg)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        if need_mask:
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = k_pos < kv_len
+            if causal:
+                mask = jnp.logical_and(mask, q_pos >= k_pos)
+            if has_segments:
+                kseg = kseg_ref[:, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+                mask = jnp.logical_and(mask, qseg == kseg)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -105,7 +111,8 @@ def _fwd_kernel(
     lse_ref[...] = (m + jnp.log(l_safe)).reshape(1, block_q)
 
 
-def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k):
+def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k,
+               has_segments=True):
     """q: [B,H,Sq,D], k/v: [B,H,Sk,D], segs: [B,1,S]. Returns out, lse[B,H,1,Sq_p]."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
@@ -125,6 +132,7 @@ def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k):
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal,
         block_k=block_k, kv_len=Sk, q_offset=q_offset,
+        has_segments=has_segments, kv_padded=(Sk_p != Sk),
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -166,7 +174,9 @@ def _pad_seg(seg, S_p, fill):
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref, dq_ref,
     *, sm_scale: float, causal: bool, block_k: int, kv_len: int, q_offset: int,
+    has_segments: bool, kv_padded: bool,
 ):
+    need_mask = causal or has_segments or kv_padded
     block_q, head_dim = q_ref.shape
     qi = pl.program_id(2)
     q = q_ref[...].astype(jnp.float32)
@@ -186,15 +196,19 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        k_pos = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = k_pos < kv_len
-        if causal:
-            mask = jnp.logical_and(mask, q_pos >= k_pos)
-        kseg = kseg_ref[:, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
-        mask = jnp.logical_and(mask, qseg == kseg)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        if need_mask:
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = k_pos < kv_len
+            if causal:
+                mask = jnp.logical_and(mask, q_pos >= k_pos)
+            if has_segments:
+                kseg = kseg_ref[:, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+                mask = jnp.logical_and(mask, qseg == kseg)
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -218,7 +232,9 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     *, sm_scale: float, causal: bool, block_q: int, q_len: int, q_offset: int,
+    has_segments: bool, q_padded: bool,
 ):
+    need_mask = causal or has_segments or q_padded
     block_k, head_dim = k_ref.shape
     ki = pl.program_id(2)
     k = k_ref[...].astype(jnp.float32)
@@ -238,15 +254,19 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        q_pos = qb * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        ) + q_offset
-        mask = q_pos - q_offset < q_len
-        if causal:
-            mask = jnp.logical_and(mask, q_pos >= k_pos)
-        qseg = qseg_ref[:, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
-        mask = jnp.logical_and(mask, qseg == kseg)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        if need_mask:
+            q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            ) + q_offset
+            mask = q_pos - q_offset < q_len
+            if causal:
+                mask = jnp.logical_and(mask, q_pos >= k_pos)
+            if has_segments:
+                qseg = qseg_ref[:, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+                mask = jnp.logical_and(mask, qseg == kseg)
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
         dv = dv + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -277,7 +297,7 @@ def _bwd_dkv_kernel(
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd(res, g, sm_scale, causal, block_q, block_k):
+def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
     q, k, v, q_seg, k_seg, out, lse = res
     do = g
     B, H, Sq, D = q.shape
@@ -301,6 +321,7 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k):
     dq_kernel = functools.partial(
         _bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
         block_k=block_k, kv_len=Sk, q_offset=q_offset,
+        has_segments=has_segments, kv_padded=(Sk_p != Sk),
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -327,6 +348,7 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k):
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
         block_q=block_q, q_len=Sq, q_offset=q_offset,
+        has_segments=has_segments, q_padded=(Sq_p != Sq),
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -357,19 +379,24 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k):
     return dq[:, :, :Sq], dk[:, :, :Sk], dv[:, :, :Sk], None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_attention_bhsd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention_bhsd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
+                          block_k, has_segments):
+    out, _ = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
+                        block_k, has_segments)
     return out
 
 
-def _flash_attention_bhsd_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k)
+def _flash_attention_bhsd_fwd(q, k, v, q_seg, k_seg, sm_scale, causal,
+                              block_q, block_k, has_segments):
+    out, lse = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
+                          block_k, has_segments)
     return out, (q, k, v, q_seg, k_seg, out, lse)
 
 
-def _flash_attention_bhsd_bwd(sm_scale, causal, block_q, block_k, res, g):
-    return _flash_bwd(res, g, sm_scale, causal, block_q, block_k)
+def _flash_attention_bhsd_bwd(sm_scale, causal, block_q, block_k,
+                              has_segments, res, g):
+    return _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments)
 
 
 _flash_attention_bhsd.defvjp(_flash_attention_bhsd_fwd, _flash_attention_bhsd_bwd)
@@ -415,8 +442,8 @@ def attention(
     segment_ids=None,
     kv_segment_ids=None,
     sm_scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 3072,
     use_pallas: Optional[bool] = None,
 ):
     """Multi-head attention. q: [B,Sq,H,D]; k,v: [B,Sk,H,D]. Returns [B,Sq,H,D].
@@ -452,6 +479,7 @@ def attention(
     k_t = jnp.swapaxes(k, 1, 2)
     v_t = jnp.swapaxes(v, 1, 2)
     out = _flash_attention_bhsd(
-        q_t, k_t, v_t, q_seg, k_seg, scale, causal, block_q, block_k
+        q_t, k_t, v_t, q_seg, k_seg, scale, causal, block_q, block_k,
+        segment_ids is not None,
     )
     return jnp.swapaxes(out, 1, 2)
