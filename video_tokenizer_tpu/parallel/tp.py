@@ -1,0 +1,52 @@
+"""Tensor-parallel shardings for the AR prior (Megatron-style, via GSPMD).
+
+The reference has no tensor parallelism (SURVEY.md §2.3) — its largest
+trained prior (632M) fits one GPU. Our zoo goes to 3.9B (`llama-abs-XXXL`),
+which wants model parallelism on small TPU chips. TPU-first, this is NOT a
+hand-written comm layer: we annotate parameter PartitionSpecs over the
+('data', 'model') mesh and let the XLA partitioner insert the all-reduces
+over ICI.
+
+Layout (standard Megatron split for a llama block):
+  * wqkv kernel  [dim, (H+2Hkv)*hd]  -> shard OUTPUT dim over 'model'
+    (head-parallel attention; requires n_head % model_parallelism == 0)
+  * wo kernel    [dim, dim]          -> shard INPUT dim  (row parallel)
+  * w1/w3 kernel [dim, hidden]       -> shard OUTPUT dim (column parallel)
+  * w2 kernel    [hidden, dim]       -> shard INPUT dim  (row parallel)
+  * embeddings / norms / head        -> replicated (vocab is small: 8192)
+Activations stay replicated across 'model'; each block costs one psum after
+attention and one after the FFN — inserted automatically by GSPMD.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def larp_ar_param_spec(path) -> P:
+    """PartitionSpec for one AR-prior parameter, keyed by its tree path."""
+    keys = [p.key for p in path if hasattr(p, "key")]
+    if "wqkv" in keys or "w1" in keys or "w3" in keys:
+        return P(None, "model")  # column parallel
+    if "wo" in keys or "w2" in keys:
+        return P("model", None)  # row parallel
+    return P()  # replicated
+
+
+def shard_params_tp(params: Any, mesh: Mesh) -> Any:
+    """Place AR-prior params with Megatron TP shardings over `mesh`."""
+
+    def place(path, leaf):
+        spec = larp_ar_param_spec(path)
+        if len(spec) > len(getattr(leaf, "shape", ())):
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def cache_sharding(mesh: Mesh) -> NamedSharding:
+    """KV cache [L, B, S, Hkv, D]: batch over 'data', kv heads over 'model'."""
+    return NamedSharding(mesh, P(None, "data", None, "model", None))
