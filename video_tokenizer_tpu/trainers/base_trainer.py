@@ -89,6 +89,7 @@ class BaseTrainer:
             os.path.join(self.save_dir, "log.txt") if self.is_master else None
         )
         self.writer = self._make_tb_writer()
+        self.wandb = self._make_wandb()
 
         seed = int(cfg.get("manualSeed", 0) or 0)
         self.base_key = jax.random.PRNGKey(seed)
@@ -120,13 +121,46 @@ class BaseTrainer:
         except Exception:
             return None
 
+    def _make_wandb(self):
+        """wandb run with offline fallback (reference base_trainer.py:166-229);
+        enabled by cfg.wandb_upload, gated on the package being installed."""
+        if not self.is_master or not self.cfg.get("wandb_upload", False):
+            return None
+        try:
+            import socket
+            import wandb
+
+            mode = "online"
+            try:
+                socket.create_connection(("api.wandb.ai", 443), timeout=2).close()
+            except OSError:
+                mode = "offline"
+            run = wandb.init(
+                project=self.cfg.get("wandb_project") or "video_tokenizer_tpu",
+                entity=self.cfg.get("wandb_entity"),
+                name=os.path.basename(self.save_dir),
+                dir=self.save_dir,
+                mode=mode,
+                config=self.cfg.to_dict(),
+                resume="allow",
+                id=self.cfg.get("wandb_run_id"),
+            )
+            self.log(f"wandb initialized (mode={mode})")
+            return run
+        except Exception as e:
+            self.log(f"wandb unavailable: {e}")
+            return None
+
     def log(self, msg: str):
         if self.is_master:
             self.logger.info(msg)
 
     def log_temp_scalar(self, k, v, t=None):
+        step = t if t is not None else self.epoch
         if self.writer is not None:
-            self.writer.add_scalar(k, v, global_step=t if t is not None else self.epoch)
+            self.writer.add_scalar(k, v, global_step=step)
+        if self.wandb is not None:
+            self.wandb.log({k: v}, step=step)
 
     # ------------------------------------------------------------------- data
 
