@@ -138,6 +138,110 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
     return gen_stats, real_stats, out_dir
 
 
+def predict_frames(args, ar_model, ar_params, tokenizer, tok_params):
+    """Frame-prediction sampling (reference sample.py:227-386): encode the
+    first `num_cond_frames` frames (repeated to frame_num) + sep token as the
+    prompt, generate the full-clip codes, decode, optionally resize."""
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    video_dir = out_dir / "videos"
+    video_dir.mkdir(exist_ok=True)
+
+    dataset = datasets.make(
+        {
+            "name": "video_dataset",
+            "args": {
+                "root_path": args.root_path,
+                "csv_file": args.csv_file,
+                "frame_num": args.frame_num,
+                "crop_size": args.input_size,
+                "cls_vid_num": "-1_-1",
+                "split": "test",
+                "use_all_frames": args.use_all_frames,
+            },
+        }
+    )
+    rng = np.random.RandomState(args.split_seed)
+    order = rng.permutation(len(dataset))
+    end = (
+        args.starting_index + args.num_samples
+        if args.num_samples > 0
+        else len(order)
+    )
+    my_indices = order[args.starting_index : min(end, len(order))]
+
+    fvd = FVDCalculator(args.i3d_weights)
+    gen_stats = FeatureStats(capture_mean_cov=True)
+    real_stats = FeatureStats(capture_mean_cov=True)
+
+    from video_tokenizer_tpu.utils.common import repeat_to_m_frames
+
+    encode_fn = jax.jit(
+        lambda p, x: tokenizer.apply(
+            p, x, method=tokenizer.encode
+        )["bottleneck_rep"]
+    )
+    decode_fn = jax.jit(
+        lambda p, seq: jnp.clip(
+            tokenizer.apply(p, seq, method=tokenizer.decode_from_bottleneck
+                            ).astype(jnp.float32), 0.0, 1.0)
+    )
+
+    def resize_video(v, res):
+        B, C, T, H, W = v.shape
+        if (H, W) == (res, res):
+            return v
+        return jax.image.resize(v, (B, C, T, res, res), method="bilinear")
+
+    executor = ThreadPoolExecutor(max_workers=4)
+    futures = []
+    key = jax.random.PRNGKey(args.seed)
+    bs = args.batch_size
+    n_done = 0
+    t_start = time.time()
+    for i in range(0, len(my_indices), bs):
+        idx_chunk = my_indices[i : i + bs]
+        if len(idx_chunk) < bs:
+            break
+        items = [dataset[j] for j in idx_chunk]
+        reals = np.stack([it["gt"] for it in items])
+        x = jnp.asarray(reals)
+        x_cond = repeat_to_m_frames(
+            x[:, :, : args.num_cond_frames], m=args.frame_num
+        )
+        c = encode_fn({"params": tok_params}, x_cond)
+        sep = jnp.full((c.shape[0], 1), tokenizer.codebook_size, c.dtype)
+        cond = jnp.concatenate([c, sep], axis=1)
+
+        key, sub = jax.random.split(key)
+        seq = generate(
+            ar_model, {"params": ar_params}, cond,
+            ar_model.max_seq_length, sub,
+            cfg_scale=1.0, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p,
+        )
+        videos = np.asarray(
+            resize_video(decode_fn({"params": tok_params}, seq), args.fp_resolution)
+        )
+        reals_rs = np.asarray(resize_video(jnp.asarray(reals), args.fp_resolution))
+        gen_stats = fvd.get_feature_stats_for_batch(jnp.asarray(videos), gen_stats)
+        real_stats = fvd.get_feature_stats_for_batch(jnp.asarray(reals_rs), real_stats)
+        if args.save_videos:
+            for b, j in enumerate(idx_chunk):
+                path = str(video_dir / f"fp_{int(j):06d}.mp4")
+                futures.append(executor.submit(write_video_mp4, videos[b], path))
+        n_done += bs
+        print(f"[{n_done}/{len(my_indices)}] Samples per second: "
+              f"{n_done / (time.time() - t_start):.3f}")
+
+    for f in futures:
+        f.result()
+    executor.shutdown()
+    gen_stats.save(out_dir / f"gen_stats_{args.starting_index}.pkl")
+    real_stats.save(out_dir / f"real_stats_{args.starting_index}.pkl")
+    return gen_stats, real_stats, out_dir
+
+
 def finalize_multi_job(args, out_dir: Path):
     """FileLock rendezvous: last job to finish merges all stats -> FVD."""
     lock = FileLock(str(out_dir / "rendezvous.lock"))
@@ -201,6 +305,9 @@ def main():
                     help="samples for THIS job (-1: all)")
     ap.add_argument("--num_jobs", type=int, default=1)
     ap.add_argument("--use_all_frames", action="store_true")
+    ap.add_argument("--frame_prediction", action="store_true")
+    ap.add_argument("--num_cond_frames", type=int, default=5)
+    ap.add_argument("--fp_resolution", type=int, default=64)
     ap.add_argument("--save_videos", action="store_true")
     ap.add_argument("--i3d_weights", default=None)
     args = ap.parse_args()
@@ -209,7 +316,10 @@ def main():
     tokenizer, tok_params = load_model_from_checkpoint(
         args.tokenizer, args.tokenizer_version
     )
-    _, _, out_dir = sample_videos(args, ar_model, ar_params, tokenizer, tok_params)
+    if args.frame_prediction:
+        _, _, out_dir = predict_frames(args, ar_model, ar_params, tokenizer, tok_params)
+    else:
+        _, _, out_dir = sample_videos(args, ar_model, ar_params, tokenizer, tok_params)
     finalize_multi_job(args, out_dir)
 
 

@@ -96,6 +96,7 @@ def generate(
     top_k: int = 0,
     top_p: float = 1.0,
     sample_logits: bool = True,
+    emb_masks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Sample `max_new_tokens` codes. cond: [B] classes or [B, T] frame tokens.
 
@@ -124,9 +125,21 @@ def generate(
         variables, cache_bs, T_new, method=model.init_cache
     )
 
-    # ---- prefill
+    # ---- prefill (emb_masks: invalid prompt positions masked as keys,
+    # reference ar/generate.py:151-160)
+    cond_mask = None
+    key_valid = None
+    if emb_masks is not None:
+        cond_mask = (
+            jnp.concatenate([emb_masks, emb_masks]) if use_cfg else emb_masks
+        ).astype(bool)
+        S_cache = cache["k"].shape[2]
+        key_valid = jnp.pad(
+            cond_mask, ((0, 0), (0, S_cache - cond_mask.shape[1])),
+            constant_values=True,
+        )
     logits, cache = model.apply(
-        variables, cond_combined, cache, method=model.prefill
+        variables, cond_combined, cache, cond_mask, method=model.prefill
     )
     if use_cfg:
         logits_last = _combine_cfg(logits, cfg_scale, True)
@@ -144,7 +157,7 @@ def generate(
         pos = T + i
         tok = jnp.concatenate([cur_token, cur_token]) if use_cfg else cur_token
         logits, cache = model.apply(
-            variables, tok, pos, cache, method=model.decode_step
+            variables, tok, pos, cache, key_valid, method=model.decode_step
         )
         if use_cfg:
             cfg_flag = (

@@ -144,9 +144,11 @@ class Attention(nn.Module):
         out = self.wo(out)
         return self.resid_dropout(out, deterministic=not train)
 
-    def prefill(self, x, k_all, v_all, layer_idx: int):
+    def prefill(self, x, k_all, v_all, layer_idx: int, cond_mask=None):
         """Process S prompt tokens; writes layer `layer_idx` of the stacked
-        cache IN PLACE (k_all/v_all: [L, B, S, Hkv, D], donated upstream)."""
+        cache IN PLACE (k_all/v_all: [L, B, S, Hkv, D], donated upstream).
+        cond_mask: optional [B, S] bool — invalid prompt positions are masked
+        as attention KEYS (the reference's emb_masks, ar/generate.py:151-160)."""
         B, S, _ = x.shape
         q, k, v = self._split_qkv(x)
         k_all = jax.lax.dynamic_update_slice(
@@ -159,12 +161,21 @@ class Attention(nn.Module):
             rep = self.n_head // self.n_kv_head
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        out = attention(q, k, v, causal=True).reshape(B, S, -1)
+        if cond_mask is not None:
+            q_seg = jnp.zeros((B, S), jnp.int32)
+            k_seg = jnp.where(cond_mask, 0, -5).astype(jnp.int32)
+            out = attention(
+                q, k, v, causal=True, segment_ids=q_seg, kv_segment_ids=k_seg
+            ).reshape(B, S, -1)
+        else:
+            out = attention(q, k, v, causal=True).reshape(B, S, -1)
         return self.wo(out), k_all, v_all
 
-    def decode_step(self, x, input_pos, k_all, v_all, layer_idx: int):
+    def decode_step(self, x, input_pos, k_all, v_all, layer_idx: int,
+                    key_valid=None):
         """One-token decode; updates one (layer, pos) slot of the stacked
-        cache in place — no full-cache copies in the sampling loop."""
+        cache in place — no full-cache copies in the sampling loop.
+        key_valid: optional [B, S_cache] bool masking invalid cache slots."""
         B = x.shape[0]
         q, k, v = self._split_qkv(x)  # [B,1,H,D], [B,1,Hkv,D]
         pos = input_pos.astype(jnp.int32)
@@ -184,6 +195,8 @@ class Attention(nn.Module):
             k_layer.astype(jnp.float32),
         ) * (self.head_dim ** -0.5)
         valid = jnp.arange(S)[None, None, None, :] <= pos
+        if key_valid is not None:
+            valid = jnp.logical_and(valid, key_valid[:, None, None, :])
         scores = jnp.where(valid, scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhgs,bshd->bhgd", probs, v_layer.astype(jnp.float32))
@@ -211,16 +224,17 @@ class TransformerBlock(nn.Module):
             self.feed_forward(self.ffn_norm(h), train=train), train
         )
 
-    def prefill(self, x, k_all, v_all, layer_idx: int):
+    def prefill(self, x, k_all, v_all, layer_idx: int, cond_mask=None):
         a, k_all, v_all = self.attention.prefill(
-            self.attention_norm(x), k_all, v_all, layer_idx
+            self.attention_norm(x), k_all, v_all, layer_idx, cond_mask
         )
         h = x + a
         return h + self.feed_forward(self.ffn_norm(h)), k_all, v_all
 
-    def decode_step(self, x, input_pos, k_all, v_all, layer_idx: int):
+    def decode_step(self, x, input_pos, k_all, v_all, layer_idx: int,
+                    key_valid=None):
         a, k_all, v_all = self.attention.decode_step(
-            self.attention_norm(x), input_pos, k_all, v_all, layer_idx
+            self.attention_norm(x), input_pos, k_all, v_all, layer_idx, key_valid
         )
         h = x + a
         return h + self.feed_forward(self.ffn_norm(h)), k_all, v_all
@@ -344,20 +358,23 @@ class LARP_AR(nn.Module):
         shape = (cfg.n_layer, batch_size, S, n_kv, head_dim)
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
-    def prefill(self, cond_idx: jax.Array, cache: Dict[str, jax.Array]):
-        """Run the conditioning prefix; fill cache; return last-pos logits."""
+    def prefill(self, cond_idx: jax.Array, cache: Dict[str, jax.Array],
+                cond_mask=None):
+        """Run the conditioning prefix; fill cache; return last-pos logits.
+        cond_mask: optional [B, T] bool (the reference's emb_masks)."""
         h = self._cond_embeddings(cond_idx, train=False)
         T = h.shape[1]
         h = h + self.abs_pe[:, :T].astype(h.dtype)
         k_all, v_all = cache["k"], cache["v"]
         for i, layer in enumerate(self.layers):
-            h, k_all, v_all = layer.prefill(h, k_all, v_all, i)
+            h, k_all, v_all = layer.prefill(h, k_all, v_all, i, cond_mask)
         h = self.norm(h)
         logits = self.output(h[:, -1:])
         return logits, {"k": k_all, "v": v_all}
 
     def decode_step(
-        self, idx: jax.Array, input_pos: jax.Array, cache: Dict[str, jax.Array]
+        self, idx: jax.Array, input_pos: jax.Array,
+        cache: Dict[str, jax.Array], key_valid=None,
     ):
         """idx: [B, 1] current token; input_pos: scalar absolute position."""
         h = self.tok_embeddings(idx)
@@ -368,7 +385,9 @@ class LARP_AR(nn.Module):
         h = h + pe.astype(h.dtype)
         k_all, v_all = cache["k"], cache["v"]
         for i, layer in enumerate(self.layers):
-            h, k_all, v_all = layer.decode_step(h, input_pos, k_all, v_all, i)
+            h, k_all, v_all = layer.decode_step(
+                h, input_pos, k_all, v_all, i, key_valid
+            )
         h = self.norm(h)
         logits = self.output(h)
         return logits, {"k": k_all, "v": v_all}

@@ -252,11 +252,39 @@ class BaseTrainer:
 
     # ------------------------------------------------------------------ loops
 
-    def save_checkpoint(self, name: str):
+    def save_checkpoint(self, name: str, save_best: bool = False):
         path = os.path.join(self.save_dir, name)
         t0 = time.time()
         ckpt_lib.save_checkpoint(path, self.state_for_checkpoint(), self.checkpoint_meta())
         self.log(f"checkpoint saved to {path} ({time.time() - t0:.1f}s)")
+        if save_best:
+            self._maybe_save_best()
+
+    def _maybe_save_best(self):
+        """Keep a single best_fvd_<value> checkpoint (reference
+        base_trainer.py:863-891: best-by-FVD file naming)."""
+        import glob
+        import shutil
+
+        if self.current_fvd >= 99999.0:
+            return
+        existing = glob.glob(os.path.join(self.save_dir, "best_fvd_*"))
+        best_prev = None
+        for p in existing:
+            try:
+                best_prev = float(os.path.basename(p).split("_")[-1])
+            except ValueError:
+                continue
+        if best_prev is not None and self.current_fvd >= best_prev:
+            return
+        for p in existing:
+            shutil.rmtree(p, ignore_errors=True)
+        name = f"best_fvd_{self.current_fvd:.2f}"
+        ckpt_lib.save_checkpoint(
+            os.path.join(self.save_dir, name),
+            self.state_for_checkpoint(), self.checkpoint_meta(),
+        )
+        self.log(f"new best checkpoint: {name}")
 
     def try_resume(self) -> bool:
         path = os.path.join(self.save_dir, "epoch-last")
@@ -274,8 +302,25 @@ class BaseTrainer:
         self.make_datasets()
         self.make_model()
         resumed = self.try_resume()
+        if not resumed:
+            self.try_init_checkpoint()
         self.starting_epoch = self.epoch + 1 if resumed else 1
         self.train()
+
+    def try_init_checkpoint(self):
+        """Warm-start params from cfg.init_checkpoint without resuming
+        optimizer/epoch state (reference base_trainer.py:269-281)."""
+        path = str(self.cfg.get("init_checkpoint", "") or "")
+        if not path or not ckpt_lib.checkpoint_exists(path):
+            return
+        state = ckpt_lib.restore_checkpoint(path)
+        cur = self.state_for_checkpoint()
+        warm = dict(cur)
+        for k in ("params", "loss_params", "ema_params"):
+            if k in state and k in warm:
+                warm[k] = state[k]
+        self.load_state(warm)
+        self.log(f"warm-started params from {path}")
 
     def train(self):
         cfg = self.cfg
@@ -309,7 +354,9 @@ class BaseTrainer:
             if epoch % save_epoch == 0:
                 self.save_checkpoint(f"epoch-{epoch}")
             if epoch % latest_interval == 0:
-                self.save_checkpoint("epoch-last")
+                self.save_checkpoint(
+                    "epoch-last", save_best=bool(cfg.get("save_best", False))
+                )
 
             epoch_time, tot_time, est_time = timer.epoch_done()
             d_ratio = self.t_data / (self.t_data + self.t_model + 1e-6)
