@@ -312,6 +312,36 @@ class LARPTokenizer(nn.Module):
             name="final_layer",
         )
 
+        # learned AR prior co-trained on the quantized latents (the original
+        # LARP recipe: prior_lr_mult 50, loss_latent_ce_weight 0.06 —
+        # scripts/train_larp_tokenizer.sh / cfgs/larp_tokenizer.yaml:176).
+        # The committed reference hard-disables it (larp_tokenizer.py:241);
+        # we keep it functional behind the prior_model spec.
+        prior = self.prior_model or {}
+        prior_name = str(prior.get("name", "none") or "none").lower()
+        if prior_name.startswith("gptc"):
+            prior_args = dict(prior.get("args", {}))
+            bdim = (
+                self.bottleneck["args"]["bottleneck_dim"]
+                if self.bottleneck_type == "vq"
+                else len(self.fsq_levels)
+            )
+            no_dropout = bool(prior.get("no_dropout", True))
+            gptc_kwargs = {
+                "n_ind": bdim,
+                "max_seq_len": self.bottleneck_token_num,
+                "l2_normalized": bool(prior_args.get("l2_normalized", True)),
+            }
+            if no_dropout:
+                gptc_kwargs.update(
+                    embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0
+                )
+            self.prior = models.make(
+                {"name": prior.get("name"), "args": gptc_kwargs}
+            )
+        else:
+            self.prior = None
+
     # ------------------------------------------------------------------ PEs
 
     def get_encoder_patch_pe(self) -> jax.Array:
@@ -371,6 +401,10 @@ class LARPTokenizer(nn.Module):
         if self.bottleneck_type == "vq":
             out = self.bottleneck_module(z.astype(jnp.float32), train=train)
             encoded = out.pop("output")
+            if self.prior is not None and "regularized_z" in out:
+                out["loss_latent_ce"] = self.prior.compute_prior_loss(
+                    out["regularized_z"], train=train
+                )
             return {"encoded": encoded, **out}
         if self.bottleneck_type == "fsq":
             if self.fsq_norm_after_proj:

@@ -117,12 +117,42 @@ class LARPTokenizerTrainer(BaseTrainer):
             opt_cfg, float(opt_cfg.get("loss_args", opt_cfg["args"])["lr"]),
             steps_per_epoch, max_epoch,
         )
-        g_tx = make_optimizer(opt_cfg.get("name", "adam"), g_sched, opt_cfg["args"])
-        if self.clip_grad_max_norm > 0:
-            g_tx = optax.chain(
-                optax.clip_by_global_norm(self.clip_grad_max_norm), g_tx
+        prior_mult = float(opt_cfg.get("prior_lr_mult", 1.0))
+        emb_mult = float(opt_cfg.get("emb_lr_mult", 1.0))
+        if prior_mult != 1.0 or emb_mult != 1.0:
+            # per-group LRs (reference larp_tokenizer_trainer.py:160-229):
+            # prior_model params x prior_lr_mult; top-level embeds x emb_lr_mult
+            def g_label(params):
+                def label(path, leaf):
+                    keys = [p.key for p in path if hasattr(p, "key")]
+                    if keys and keys[0] == "prior":
+                        return "prior"
+                    if emb_mult != 1.0 and len(keys) == 1:
+                        return "emb"
+                    return "base"
+                return jax.tree_util.tree_map_with_path(label, params)
+
+            def scaled_tx(mult):
+                sched = lambda step: g_sched(step) * mult
+                tx = make_optimizer(opt_cfg.get("name", "adam"), sched, opt_cfg["args"])
+                if self.clip_grad_max_norm > 0:
+                    tx = optax.chain(
+                        optax.clip_by_global_norm(self.clip_grad_max_norm), tx
+                    )
+                return tx
+
+            self.g_tx = optax.multi_transform(
+                {"base": scaled_tx(1.0), "prior": scaled_tx(prior_mult),
+                 "emb": scaled_tx(emb_mult)},
+                g_label,
             )
-        self.g_tx = g_tx
+        else:
+            g_tx = make_optimizer(opt_cfg.get("name", "adam"), g_sched, opt_cfg["args"])
+            if self.clip_grad_max_norm > 0:
+                g_tx = optax.chain(
+                    optax.clip_by_global_norm(self.clip_grad_max_norm), g_tx
+                )
+            self.g_tx = g_tx
 
         # discriminator optimizer: train only the 'discriminator' subtree;
         # LPIPS weights stay frozen (reference loss.py:305-308).
@@ -193,8 +223,10 @@ class LARPTokenizerTrainer(BaseTrainer):
 
     def _apply_model(self, params, data, train, rng):
         """Model forward hook; subclasses may add rng streams / kwargs."""
+        r_vq, r_drop = jax.random.split(rng)
         return self.model.apply(
-            {"params": params}, data, train=train, rngs={"vq": rng}
+            {"params": params}, data, train=train,
+            rngs={"vq": r_vq, "dropout": r_drop},
         )
 
     def _generator_extra_loss(self, diff, data, loss_params, loss_ema, rng):
