@@ -1,0 +1,172 @@
+"""Trainer-level tests on the 8-device CPU mesh: steps, resume, checkpoints."""
+import numpy as np
+import pytest
+
+from video_tokenizer_tpu.config import ConfigDict
+import video_tokenizer_tpu.models  # noqa: F401
+import video_tokenizer_tpu.data  # noqa: F401
+import video_tokenizer_tpu.trainers  # noqa: F401
+from video_tokenizer_tpu.registry import trainers
+from video_tokenizer_tpu.parallel import shard_batch
+
+
+def _tok_cfg(tmp_path, **over):
+    cfg = {
+        "save_dir": str(tmp_path / "run"),
+        "manualSeed": 0,
+        "max_epoch": 1,
+        "eval_epoch": 10,
+        "vis_epoch": 10,
+        "latest_interval": 1,
+        "loss_q_weight": 0.1,
+        "use_amp": False,
+        "train_dataset": {
+            "name": "video_dataset",
+            "args": {
+                "root_path": "/tmp", "split": "train", "frame_num": 8,
+                "csv_file": "null128", "crop_size": 32, "cls_vid_num": "-1_-1",
+            },
+            "loader": {"batch_size": 8, "num_workers": 0},
+        },
+        "model": {
+            "name": "larp_tokenizer",
+            "args": {
+                "bottleneck": {
+                    "name": "bottleneck",
+                    "args": {
+                        "bottleneck_dim": 8, "norm": "none",
+                        "regularizer": {
+                            "name": "vq",
+                            "args": {
+                                "codebook_size": 64, "l2_normalized": True,
+                                "stochastic": True,
+                                "stochastic_temperature": 0.03,
+                            },
+                        },
+                    },
+                },
+                "prior_model": {"name": "none"},
+                "bottleneck_token_num": 16, "input_size": 32, "frame_num": 8,
+                "encoder_hidden_size": 64, "decoder_hidden_size": 64,
+                "encoder_num_heads": 4, "decoder_num_heads": 4,
+                "encoder_depth": 1, "decoder_depth": 1,
+            },
+        },
+        "loss": {
+            "name": "lpips_disc_loss",
+            "args": {
+                "disc_start": 0, "disc_loss": "hinge", "disc_weight": 0.3,
+                "d_update_freq": 1, "disc_tran_hidden_size": 64,
+                "disc_tran_n_heads": 4, "disc_tran_n_layers": 1,
+                "disc_tran_temporal_patch_size": 4, "disc_tran_patch_size": 8,
+                "input_spatial_size": 32, "frame_num": 8,
+            },
+        },
+        "optimizer": {
+            "name": "adam", "args": {"lr": 1e-4, "betas": [0.5, 0.9]},
+            "loss_args": {"lr": 3e-5, "betas": [0.5, 0.9]},
+            "lr_type": "cosine", "warmup_epoch": 1, "min_lr_mult": 0.01,
+        },
+    }
+    cfg.update(over)
+    return ConfigDict(cfg)
+
+
+def _batch(b=8):
+    rng = np.random.RandomState(0)
+    return {
+        "gt": rng.rand(b, 3, 8, 32, 32).astype(np.float32),
+        "label": np.zeros(b, np.int32),
+    }
+
+
+class TestTokenizerTrainer:
+    def test_step_and_checkpoint_resume(self, tmp_path):
+        cfg = _tok_cfg(tmp_path, ema_decay="0.999")
+        tr = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.epoch = 1
+        tr.make_model()
+        batch = shard_batch(tr.mesh, _batch())
+        info1 = tr.train_step(batch)
+        assert np.isfinite(info1["loss"])
+        assert "index_usage" in info1 and "perplexity" in info1
+        step_after = int(tr.state["step"])
+        tr.save_checkpoint("epoch-last")
+
+        # fresh trainer resumes the exact state
+        tr2 = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr2.make_datasets()
+        tr2.n_steps_per_epoch = 4
+        tr2.epoch = 1
+        tr2.make_model()
+        assert tr2.try_resume()
+        assert int(tr2.state["step"]) == step_after
+        a = np.asarray(
+            tr.state["params"]["x_embedder"]["proj"]["kernel"]
+        )
+        b = np.asarray(
+            tr2.state["params"]["x_embedder"]["proj"]["kernel"]
+        )
+        assert np.array_equal(a, b)
+        # EMA state survives
+        assert "0.999" in tr2.state["ema_params"]
+
+    def test_disc_update_freq_gating(self, tmp_path):
+        cfg = _tok_cfg(tmp_path)
+        cfg["loss"]["args"]["d_update_freq"] = 1000  # never on these steps
+        tr = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.epoch = 1
+        tr.make_model()
+        disc_before = np.asarray(
+            tr.state["loss_params"]["discriminator"]["fc"]["kernel"]
+        ).copy()
+        gen_before = np.asarray(
+            tr.state["params"]["x_embedder"]["proj"]["kernel"]
+        ).copy()
+        tr.state["step"] = tr.state["step"] + 1  # step%freq != 0
+        tr.train_step(shard_batch(tr.mesh, _batch()))
+        disc_after = np.asarray(
+            tr.state["loss_params"]["discriminator"]["fc"]["kernel"]
+        )
+        gen_after = np.asarray(
+            tr.state["params"]["x_embedder"]["proj"]["kernel"]
+        )
+        assert np.array_equal(disc_before, disc_after)  # gated off
+        assert not np.array_equal(gen_before, gen_after)  # generator trained
+
+
+class TestARTrainer:
+    def test_step(self, tmp_path):
+        cfg = _tok_cfg(tmp_path)
+        cfg["vae"] = {
+            "name": "larp_tokenizer", "checkpoint": "",
+            "args": cfg["model"]["args"].to_dict(),
+        }
+        cfg["model"] = {
+            "name": "larp_ar",
+            "args": {
+                "num_classes": 101, "token_dropout_p": 0.0,
+                "resid_dropout_p": 0.0, "ffn_dropout_p": 0.0,
+                "dim": 64, "n_layer": 1, "n_head": 4,
+            },
+        }
+        cfg["ar"] = {"num_samples": 2, "sample_batch_size": 2, "num_frames": 8}
+        cfg["optimizer"] = {
+            "name": "adamw", "args": {"lr": 6e-4, "weight_decay": 0.05},
+            "lr_type": "cosine", "warmup_epoch": 1, "min_lr_mult": 0.1,
+        }
+        tr = trainers.make({"name": "larp_ar_trainer"}, args={"cfg": cfg})
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.make_model()
+        info = tr.train_step(shard_batch(tr.mesh, _batch()))
+        assert np.isfinite(info["loss"])
+        assert 0.0 <= info["top1"] <= 1.0 and info["top1"] <= info["top5"]
+        # AdamW decay mask: kernels decay, norms/embeddings don't — check the
+        # labels by running a second step without error
+        info2 = tr.train_step(shard_batch(tr.mesh, _batch()))
+        assert np.isfinite(info2["loss"])

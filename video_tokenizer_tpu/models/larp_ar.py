@@ -240,7 +240,6 @@ class TransformerBlock(nn.Module):
         return h + self.feed_forward(self.ffn_norm(h)), k_all, v_all
 
 
-@models.register("larp_ar")
 class LARP_AR(nn.Module):
     """AR prior. See module docstring. Video codes vocab + optional sep token."""
 
@@ -403,7 +402,14 @@ def _zoo(n_layer, n_head, dim):
     return ctor
 
 
+def _larp_ar_factory(**kwargs):
+    """Registry entry taking flat ModelArgs kwargs (like the reference)."""
+    fields = set(ModelArgs.__dataclass_fields__)
+    return LARP_AR(ModelArgs(**{k: v for k, v in kwargs.items() if k in fields}))
+
+
 larp_ar_models = {
+    "larp_ar": _larp_ar_factory,
     "llama-abs-S": _zoo(12, 6, 384),     # 21.7M
     "llama-abs-B": _zoo(12, 12, 768),    # 111M
     "llama-abs-L": _zoo(24, 16, 1024),   # 343M

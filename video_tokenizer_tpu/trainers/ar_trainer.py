@@ -166,7 +166,8 @@ class _ARTrainerBase(BaseTrainer):
             "opt": self.tx.init(variables["params"]),
             "ema_params": {
                 str(d): jax.tree_util.tree_map(
-                    lambda p: p.astype(jnp.float32), variables["params"]
+                    lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+                    variables["params"],
                 )
                 for d in self.ema_decays
             },

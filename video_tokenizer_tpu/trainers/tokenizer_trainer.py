@@ -182,7 +182,10 @@ class LARPTokenizerTrainer(BaseTrainer):
             "opt_d": self.d_tx.init(self.loss_params),
             "ema_params": {
                 str(d): jax.tree_util.tree_map(
-                    lambda p: p.astype(jnp.float32), self.model_params
+                    # explicit copy: astype is a no-op alias for fp32 params,
+                    # which would double-donate buffers in the jitted step
+                    lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+                    self.model_params,
                 )
                 for d in self.ema_decays
             },
