@@ -288,8 +288,29 @@ class _ARTrainerBase(BaseTrainer):
             self._save_samples(
                 np.asarray(videos), os.path.join(vis_dir, f"samples_ep{self.epoch}.png")
             )
+            self._maybe_fvd(videos)
         except Exception as e:
             self.log(f"visualize_epoch failed: {e}")
+
+    def _maybe_fvd(self, videos):
+        """gFVD of samples vs precomputed real stats
+        (cfg.fvd_real_stats_path, reference larp_ar_trainer.py:325-341)."""
+        stats_path = str(self.cfg.get("fvd_real_stats_path", "") or "")
+        if not stats_path or not os.path.exists(stats_path):
+            return
+        try:
+            from ..metrics.fvd import FeatureStats, FVDCalculator
+
+            calc = FVDCalculator(self.cfg.get("i3d_weights"))
+            if not (calc.pretrained or self.cfg.get("force_fvd", False)):
+                return
+            gen = calc.get_feature_stats_for_batch(jnp.asarray(videos))
+            real = FeatureStats.load(stats_path)
+            self.current_fvd = float(calc.calculate_fvd(gen, real))
+            self.log(f"sample gFVD: {self.current_fvd:.3f}")
+            self.log_temp_scalar("eval/gfvd", self.current_fvd)
+        except Exception as e:
+            self.log(f"gFVD computation failed: {e}")
 
     @staticmethod
     def _save_samples(videos, path, max_frames=8):

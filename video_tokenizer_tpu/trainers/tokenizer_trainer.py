@@ -200,6 +200,31 @@ class LARPTokenizerTrainer(BaseTrainer):
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(functools.partial(self._step_impl, is_train=False))
+        self._recon_fn = jax.jit(self._recon_impl)
+        self._setup_fvd()
+
+    def _setup_fvd(self):
+        """Eval-time FVD of reconstructions (reference base_trainer.py:697-750).
+        Enabled when pretrained I3D weights are present (or cfg.force_fvd)."""
+        self.fvd_calc = None
+        try:
+            from ..metrics.fvd import FVDCalculator
+
+            calc = FVDCalculator(self.cfg.get("i3d_weights"))
+            if calc.pretrained or self.cfg.get("force_fvd", False):
+                self.fvd_calc = calc
+                self.log("eval FVD enabled")
+            else:
+                self.log("eval FVD disabled (no pretrained I3D weights)")
+        except Exception as e:
+            self.log(f"eval FVD unavailable: {e}")
+
+    def _recon_impl(self, state, data):
+        out = self.model.apply(
+            {"params": state["params"]}, data, train=False,
+            rngs={"vq": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        )
+        return jnp.clip(out["pred_frames"].astype(jnp.float32), 0.0, 1.0)
 
     # ------------------------------------------------------------- schedules
 
@@ -398,9 +423,35 @@ class LARPTokenizerTrainer(BaseTrainer):
         _, info = self._eval_step(
             self.state, batch, jnp.asarray(self.epoch, jnp.int32)
         )
+        if self.fvd_calc is not None and batch["gt"].shape[2] >= 10:
+            recon = self._recon_fn(self.state, batch["gt"].astype(jnp.float32))
+            self._fake_stats = self.fvd_calc.get_feature_stats_for_batch(
+                recon, getattr(self, "_fake_stats", None)
+            )
+            self._real_stats = self.fvd_calc.get_feature_stats_for_batch(
+                batch["gt"], getattr(self, "_real_stats", None)
+            )
         return common.to_host_scalars(
             {k: v for k, v in info.items() if hasattr(v, "ndim") and v.ndim == 0}
         )
+
+    def evaluate_epoch(self):
+        self._fake_stats = None
+        self._real_stats = None
+        super().evaluate_epoch()
+        if (
+            self.fvd_calc is not None
+            and self._fake_stats is not None
+            and self._fake_stats.num_items > 1
+        ):
+            try:
+                fvd = self.fvd_calc.calculate_fvd(self._fake_stats, self._real_stats)
+            except Exception as e:  # reference records 99999.99 on failure
+                self.log(f"FVD computation failed: {e}")
+                fvd = 99999.99
+            self.current_fvd = float(fvd)
+            self.log(f"eval rFVD: {self.current_fvd:.3f}")
+            self.log_temp_scalar("eval/rfvd", self.current_fvd)
 
     def visualize_epoch(self):
         if not self.is_master or not self.test_datasets:
