@@ -61,10 +61,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-side batch pytree with batch-dim sharded over 'data'."""
+    """Place a host-side batch pytree with batch-dim sharded over 'data'.
+
+    Ragged batches (batch not divisible by the data axis, e.g. an eval
+    loader tail) fall back to replication rather than failing."""
+    n_data = mesh.shape["data"]
 
     def _place(x):
         x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % n_data != 0:
+            return jax.device_put(x, replicated_sharding(mesh))
         return jax.device_put(x, data_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(_place, batch)
