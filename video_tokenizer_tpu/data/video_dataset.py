@@ -213,7 +213,10 @@ class VideoDataset:
             if not os.path.isabs(cf):
                 cf = os.path.join(root_path, cf)
             cls_num, vid_num = (int(x) for x in cvn.split("_"))
-            self._process_csv(cf, cls_num, vid_num)
+            if cf.endswith(".js"):
+                self._process_js(cf, cls_num, vid_num)
+            else:
+                self._process_csv(cf, cls_num, vid_num)
         self.vid_list = sorted(self.vid_list)
         self._index_videos()
 
@@ -240,6 +243,22 @@ class VideoDataset:
                 self.vid_list += [r["path"] for r in group]
         else:
             self.vid_list += [r["path"] for r in rows]
+
+    def _process_js(self, js_file: str, cls_num: int, vid_num: int):
+        """JSON {class: [paths]} listing (reference video_dataset.py:147-153):
+        classes sorted by size descending, per-class/video limits applied."""
+        import json
+
+        with open(js_file) as f:
+            vid_dict = json.load(f)
+        keys = sorted(vid_dict, key=lambda k: len(vid_dict[k]), reverse=True)
+        if cls_num != -1:
+            keys = keys[:cls_num]
+        for k in keys:
+            vids = vid_dict[k]
+            if vid_num != -1:
+                vids = vids[:vid_num]
+            self.vid_list += vids
 
     def _index_videos(self):
         vid_list = self.vid_list
