@@ -93,8 +93,12 @@ def _fwd_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        # bf16 probabilities for the p@v MXU pass: p in [0,1], so the
+        # 8-bit-mantissa error is ~1e-3 relative — well inside attention's
+        # tolerance — and halves the matmul input traffic.
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
 
