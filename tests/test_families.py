@@ -1,0 +1,50 @@
+"""Every registered tokenizer family forwards at tiny scale (round-trip)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import video_tokenizer_tpu.models  # noqa: F401
+from video_tokenizer_tpu.registry import models
+
+TINY_TEACHER = {
+    "teacher_dim": 32, "teacher_depth": 1, "teacher_heads": 4,
+    "vjepa2_img_size": 32, "vjepa2_num_frames": 8, "vjepa2_patch_size": 8,
+    "vjepa2_tubelet_size": 2, "out_layers": (0,),
+}
+
+CASES = [
+    ("autoencoder", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 16}, (1, 3, 16, 32, 32)),
+    ("autoencoder_dualpatch", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 16}, (1, 3, 16, 32, 32)),
+    ("autoencoder_first_token", {"model_size": "tiny", "num_latent_tokens": 8, "first_frame_tokens": 4, "input_size": 32, "frame_num": 16}, (1, 3, 16, 32, 32)),
+    ("autoencoder_design", {"model_size": "tiny", "num_latent_tokens": 8, "first_frame_tokens": 4, "input_size": 32, "frame_num": 16}, (1, 3, 16, 32, 32)),
+    ("autoencoder_convpatchify", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("autoencoder_convpatchify_greatfsq", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("autoencoder_convpatchify_mask2", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("autoencoder_mask3", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("autoencoder_convpatchify_simplytransformer", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("autoencoder_large", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("autoencoder_first_token_f256t512", {"model_size": "tiny", "decoder_model_size": "tiny", "num_latent_tokens": 8, "first_frame_tokens": 4, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("autoencoder_stat", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("titok", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 8}, (1, 3, 8, 32, 32)),
+    ("cosmos", {"base_channels": 8, "latent_dim": 16, "codebook_size": 64}, (1, 3, 9, 32, 32)),
+    ("cosmos_fsq", {"base_channels": 8, "latent_dim": 16}, (1, 3, 9, 32, 32)),
+    ("autoencoder_cnnvit", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 16, "cnn_ch": 8}, (1, 3, 16, 32, 32)),
+    ("larp_tokenizer_vfm_noquant", {**TINY_TEACHER, "decoder_hidden_size": 32, "dec_depth": 1, "dec_heads": 4}, (1, 3, 8, 32, 32)),
+    ("autoencoder_vfm", {**TINY_TEACHER, "model_size": "tiny", "num_latent_tokens": 4, "pixel_dec_width": 32, "pixel_dec_depth": 1, "pixel_dec_heads": 4}, (1, 3, 8, 32, 32)),
+]
+
+
+@pytest.mark.parametrize("name,args,shape", CASES, ids=[c[0] for c in CASES])
+def test_family_forward(name, args, shape):
+    m = models.make({"name": name, "args": args})
+    x = jax.random.uniform(jax.random.PRNGKey(0), shape)
+    rngs = {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2),
+            "stat": jax.random.PRNGKey(3), "kmeans": jax.random.PRNGKey(4)}
+    variables = m.init(rngs, x)
+    out = m.apply(
+        variables, x,
+        rngs={k: v for k, v in rngs.items() if k != "params"},
+    )
+    assert out["pred_frames"].shape == shape
+    assert np.isfinite(np.asarray(out["pred_frames"])).all()

@@ -311,8 +311,8 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
     delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     delta = delta[:, :, None, :]  # [B, H, 1, Sq]
 
-    Sq_p = _round_up(Sq, max(block_q, block_k))
-    Sk_p = _round_up(Sk, max(block_q, block_k))
+    Sq_p = _round_up(Sq, block_q)
+    Sk_p = _round_up(Sk, block_k)
     pad4 = lambda x, S: jnp.pad(x, ((0, 0), (0, 0), (0, S - x.shape[2]), (0, 0)))
     padl = lambda x, S: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, S - x.shape[3])))
     qp, dop = pad4(q, Sq_p), pad4(do, Sq_p)
@@ -383,24 +383,29 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
     return dq[:, :, :Sq], dk[:, :, :Sk], dv[:, :, :Sk], None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash_attention_bhsd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
-                          block_k, has_segments):
+                          block_k, has_segments, bwd_block_q, bwd_block_k):
     out, _ = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
                         block_k, has_segments)
     return out
 
 
 def _flash_attention_bhsd_fwd(q, k, v, q_seg, k_seg, sm_scale, causal,
-                              block_q, block_k, has_segments):
+                              block_q, block_k, has_segments,
+                              bwd_block_q, bwd_block_k):
     out, lse = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
                           block_k, has_segments)
     return out, (q, k, v, q_seg, k_seg, out, lse)
 
 
 def _flash_attention_bhsd_bwd(sm_scale, causal, block_q, block_k,
-                              has_segments, res, g):
-    return _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments)
+                              has_segments, bwd_block_q, bwd_block_k, res, g):
+    # the backward kernels hold more live VMEM (dk/dv accumulators + full
+    # q/do/lse/delta) than the forward — they get their own, smaller blocks
+    return _flash_bwd(
+        res, g, sm_scale, causal, bwd_block_q, bwd_block_k, has_segments
+    )
 
 
 _flash_attention_bhsd.defvjp(_flash_attention_bhsd_fwd, _flash_attention_bhsd_bwd)
@@ -448,6 +453,8 @@ def attention(
     sm_scale: Optional[float] = None,
     block_q: int = 512,
     block_k: int = 3072,
+    bwd_block_q: int = 256,
+    bwd_block_k: int = 1024,
     use_pallas: Optional[bool] = None,
 ):
     """Multi-head attention. q: [B,Sq,H,D]; k,v: [B,Sk,H,D]. Returns [B,Sq,H,D].
@@ -467,6 +474,8 @@ def attention(
     scale = sm_scale if sm_scale is not None else D ** -0.5
     block_q = min(block_q, _round_up(Sq, 128))
     block_k = min(block_k, _round_up(Sk, 128))
+    bwd_block_q = min(bwd_block_q, _round_up(Sq, 128))
+    bwd_block_k = min(bwd_block_k, _round_up(Sk, 128))
 
     if segment_ids is None:
         q_seg = jnp.zeros((B, 1, Sq), dtype=jnp.int32)
@@ -484,6 +493,6 @@ def attention(
     v_t = jnp.swapaxes(v, 1, 2)
     out = _flash_attention_bhsd(
         q_t, k_t, v_t, q_seg, k_seg, scale, causal, block_q, block_k,
-        segment_ids is not None,
+        segment_ids is not None, bwd_block_q, bwd_block_k,
     )
     return jnp.swapaxes(out, 1, 2)
