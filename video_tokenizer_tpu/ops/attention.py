@@ -116,13 +116,14 @@ def _fwd_kernel(
 
 
 def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k,
-               has_segments=True):
+               has_segments=True, causal_offset=None):
     """q: [B,H,Sq,D], k/v: [B,H,Sk,D], segs: [B,1,S]. Returns out, lse[B,H,1,Sq_p]."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     Sq_p = _round_up(Sq, block_q)
     Sk_p = _round_up(Sk, block_k)
-    q_offset = Sk - Sq  # causal alignment: query i attends to keys <= i + offset
+    # causal alignment: query i attends to keys <= i + offset
+    q_offset = causal_offset if causal_offset is not None else Sk - Sq
 
     if Sq_p != Sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
@@ -443,6 +444,80 @@ def xla_attention(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+def attention_with_lse(
+    q, k, v,
+    causal: bool = False,
+    segment_ids=None,
+    kv_segment_ids=None,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 3072,
+    causal_offset: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
+):
+    """Like `attention` but also returns the log-sum-exp per query row
+    [B, H, Sq] (fp32) — the merge statistic for blockwise/ring attention.
+    `causal_offset` overrides the default global-position alignment
+    (Sk - Sq): query i attends keys j with i + causal_offset >= j."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    scale = sm_scale if sm_scale is not None else D ** -0.5
+    if not use_pallas:
+        out, lse = _xla_attention_lse(
+            q, k, v, causal=causal, segment_ids=segment_ids,
+            kv_segment_ids=kv_segment_ids, sm_scale=scale,
+            causal_offset=causal_offset,
+        )
+        return out, lse
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Sk, 128))
+    if segment_ids is None:
+        q_seg = jnp.zeros((B, 1, Sq), dtype=jnp.int32)
+        k_seg = jnp.zeros((B, 1, Sk), dtype=jnp.int32)
+        has_segments = False
+    else:
+        q_seg = segment_ids.astype(jnp.int32)[:, None, :]
+        k_seg = (
+            kv_segment_ids.astype(jnp.int32)[:, None, :]
+            if kv_segment_ids is not None else q_seg
+        )
+        has_segments = True
+    q_t = jnp.swapaxes(q, 1, 2)
+    k_t = jnp.swapaxes(k, 1, 2)
+    v_t = jnp.swapaxes(v, 1, 2)
+    out, lse = _flash_fwd(
+        q_t, k_t, v_t, q_seg, k_seg, scale, causal, block_q, block_k,
+        has_segments, causal_offset=causal_offset,
+    )
+    return jnp.swapaxes(out, 1, 2), lse[:, :, 0, :Sq]
+
+
+def _xla_attention_lse(q, k, v, causal, segment_ids, kv_segment_ids,
+                       sm_scale, causal_offset=None):
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * sm_scale
+    mask = jnp.ones((B, 1, Sq, Sk), dtype=bool)
+    if causal:
+        off = causal_offset if causal_offset is not None else Sk - Sq
+        q_pos = jnp.arange(Sq)[:, None] + off
+        k_pos = jnp.arange(Sk)[None, :]
+        mask = jnp.logical_and(mask, (q_pos >= k_pos)[None, None])
+    if segment_ids is not None:
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        seg_mask = segment_ids[:, None, :, None] == kv_seg[:, None, None, :]
+        mask = jnp.logical_and(mask, seg_mask)
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    lse = jax.nn.logsumexp(logits, axis=-1)  # [B, H, Sq]
+    probs = jnp.exp(logits - lse[..., None])
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype), lse
 
 
 def attention(
