@@ -1,5 +1,9 @@
-from .attention import attention, xla_attention
+from .attention import attention, attention_with_lse, xla_attention
 from .vq import vq_lookup
+from . import rope
 from . import sincos
 
-__all__ = ["attention", "xla_attention", "vq_lookup", "sincos"]
+__all__ = [
+    "attention", "attention_with_lse", "xla_attention", "vq_lookup",
+    "rope", "sincos",
+]

@@ -1,3 +1,5 @@
+from . import ring  # noqa: F401
+from . import tp  # noqa: F401
 from .mesh import (
     MeshConfig,
     create_mesh,
