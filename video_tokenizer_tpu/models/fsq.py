@@ -13,7 +13,7 @@ Re-expresses `/root/reference/models/model_new/quantizer/fsq.py`:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Re-expresses `/root/reference/models/larp_ar.py` TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence, Tuple
 
-import einops
 import jax
 import jax.numpy as jnp
 import numpy as np

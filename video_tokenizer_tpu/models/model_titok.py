@@ -22,7 +22,6 @@ Registered: 'titok' (base size, FSQ[8,8,8,5,5,5]).
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import einops

@@ -17,9 +17,8 @@ Re-expresses `/root/reference/models/larp_sem.py` and the alignment pieces of
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
-import einops
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -179,8 +179,6 @@ class TeacherSpaceAutoEncoder(nn.Module):
         self.final_layer = OutputLayer(pt * p * p * 3, name="final_layer")
 
     def _teacher_feats(self, x):
-        import einops as _  # noqa: F401
-
         B, C, T, H, W = x.shape
         s = self.vjepa2_img_size
         xt = x.astype(jnp.float32)

@@ -21,7 +21,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,7 @@ import optax
 from .. import registry
 from ..generation import generate
 from ..metrics import statistics as stats
-from ..models.larp_ar import LARP_AR, ModelArgs
+from ..models.larp_ar import LARP_AR
 from ..parallel import replicated_sharding
 from ..registry import trainers
 from ..utils import checkpoint as ckpt_lib

@@ -22,7 +22,7 @@ from __future__ import annotations
 import csv as _csv
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
