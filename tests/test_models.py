@@ -193,6 +193,35 @@ class TestAR:
         assert seq.shape == (2, 6)
         assert ((np.asarray(seq) >= 0) & (np.asarray(seq) < 32)).all()
 
+    def test_emb_masks_all_ones_is_noop(self):
+        """Frame-prediction generation with an all-ones emb_mask must equal
+        unmasked generation (reference ar/generate.py:151-160 semantics)."""
+        cfg = ModelArgs(
+            dim=64, n_layer=2, n_head=4, vocab_size=32, max_seq_len=8,
+            cls_token_num=5, frame_prediction=True, token_dropout_p=0.0,
+            resid_dropout_p=0.0, ffn_dropout_p=0.0,
+        )
+        model = LARP_AR(cfg)
+        cond = jax.random.randint(jax.random.PRNGKey(0), (2, 5), 0, 32)
+        idx = jnp.zeros((2, 7), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(1)}, idx, cond)
+        # output head is zero-init; randomize it so logits are informative
+        params = dict(variables["params"])
+        params["output"] = {
+            "kernel": jax.random.normal(jax.random.PRNGKey(9), (64, 32)) * 0.1
+        }
+        variables = {"params": params}
+        a = generate(model, variables, cond, 6, jax.random.PRNGKey(2),
+                     sample_logits=False)
+        b = generate(model, variables, cond, 6, jax.random.PRNGKey(2),
+                     sample_logits=False, emb_masks=jnp.ones((2, 5), bool))
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        # masking changes the output
+        m = jnp.asarray([[True, True, False, True, True]] * 2)
+        c = generate(model, variables, cond, 6, jax.random.PRNGKey(2),
+                     sample_logits=False, emb_masks=m)
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
     def test_valid_mask_loss(self, ar):
         model, variables = ar
         idx = jnp.zeros((2, 11), jnp.int32)
