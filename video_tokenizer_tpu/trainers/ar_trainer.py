@@ -71,6 +71,7 @@ class _ARTrainerBase(BaseTrainer):
         self.compute_dtype = (
             jnp.bfloat16 if cfg.get("use_amp", False) else jnp.float32
         )
+        self._info_keys = {}
 
     # -------------------------------------------------------------- building
 
@@ -225,6 +226,9 @@ class _ARTrainerBase(BaseTrainer):
             ema_params = state["ema_params"]
 
         info = {"loss": loss, **stats.topk_accuracy(logits, z, ks=(1, 5))}
+        keys = tuple(sorted(info))
+        self._info_keys["train" if is_train else "eval"] = keys
+        packed = jnp.stack([info[k].astype(jnp.float32) for k in keys])
         new_state = {
             "params": new_params,
             "opt": new_opt,
@@ -232,17 +236,19 @@ class _ARTrainerBase(BaseTrainer):
             "step": state["step"] + (1 if is_train else 0),
             "rng": rng,
         }
-        return new_state, info
+        return new_state, packed
 
     # ------------------------------------------------------------ loop hooks
 
     def train_step(self, batch):
-        self.state, info = self._train_step(self.state, self.vae_params, batch)
-        return common.to_host_scalars(info)
+        self.state, packed = self._train_step(
+            self.state, self.vae_params, batch
+        )
+        return dict(zip(self._info_keys["train"], np.asarray(packed).tolist()))
 
     def evaluate_step(self, batch):
-        _, info = self._eval_step(self.state, self.vae_params, batch)
-        return common.to_host_scalars(info)
+        _, packed = self._eval_step(self.state, self.vae_params, batch)
+        return dict(zip(self._info_keys["eval"], np.asarray(packed).tolist()))
 
     def sample_videos(self, cond, key):
         """cond -> decoded videos [B, C, T, H, W] via compiled generation."""
