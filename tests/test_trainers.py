@@ -72,6 +72,15 @@ def _tok_cfg(tmp_path, **over):
     return ConfigDict(cfg)
 
 
+def _fetch(ret):
+    """train_step returns (keys, device_packed) — fetch for assertions."""
+    import numpy as _np
+    if isinstance(ret, tuple):
+        keys, packed = ret
+        return dict(zip(keys, _np.asarray(packed).tolist()))
+    return ret
+
+
 def _batch(b=8):
     rng = np.random.RandomState(0)
     return {
@@ -89,7 +98,7 @@ class TestTokenizerTrainer:
         tr.epoch = 1
         tr.make_model()
         batch = shard_batch(tr.mesh, _batch())
-        info1 = tr.train_step(batch)
+        info1 = _fetch(tr.train_step(batch))
         assert np.isfinite(info1["loss"])
         assert "index_usage" in info1 and "perplexity" in info1
         step_after = int(tr.state["step"])
@@ -163,10 +172,10 @@ class TestARTrainer:
         tr.make_datasets()
         tr.n_steps_per_epoch = 4
         tr.make_model()
-        info = tr.train_step(shard_batch(tr.mesh, _batch()))
+        info = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
         assert np.isfinite(info["loss"])
         assert 0.0 <= info["top1"] <= 1.0 and info["top1"] <= info["top5"]
         # AdamW decay mask: kernels decay, norms/embeddings don't — check the
         # labels by running a second step without error
-        info2 = tr.train_step(shard_batch(tr.mesh, _batch()))
+        info2 = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
         assert np.isfinite(info2["loss"])

@@ -244,7 +244,7 @@ class _ARTrainerBase(BaseTrainer):
         self.state, packed = self._train_step(
             self.state, self.vae_params, batch
         )
-        return dict(zip(self._info_keys["train"], np.asarray(packed).tolist()))
+        return (self._info_keys["train"], packed)
 
     def evaluate_step(self, batch):
         _, packed = self._eval_step(self.state, self.vae_params, batch)

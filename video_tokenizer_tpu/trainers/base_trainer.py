@@ -369,6 +369,7 @@ class BaseTrainer:
 
     def train_epoch(self):
         ave: Dict[str, common.Averager] = {}
+        deferred = []  # (keys, device_array) — fetched once at epoch end
         t1 = time.time()
         for batch in self.train_loader(self.epoch):
             self.global_step += 1
@@ -378,9 +379,19 @@ class BaseTrainer:
             ret = self.train_step(batch_dev)
             self.t_model += time.time() - t0
             B = len(batch["gt"])
-            for k, v in ret.items():
-                ave.setdefault(k, common.Averager()).add(float(v), n=B)
+            if isinstance(ret, tuple):
+                # deferred device telemetry: no host sync inside the epoch,
+                # steps pipeline freely through the async dispatch queue
+                deferred.append(ret)
+            else:
+                for k, v in ret.items():
+                    ave.setdefault(k, common.Averager()).add(float(v), n=B)
             t1 = time.time()
+
+        for keys, packed in deferred:
+            vals = np.asarray(packed)
+            for k, v in zip(keys, vals.tolist()):
+                ave.setdefault(k, common.Averager()).add(v)
 
         logtext = "train:"
         for k, v in ave.items():

@@ -425,8 +425,8 @@ class LARPTokenizerTrainer(BaseTrainer):
         self.state, packed = self._train_step(
             self.state, batch, jnp.asarray(self.epoch, jnp.int32)
         )
-        vals = np.asarray(packed)  # one transfer
-        return dict(zip(self._info_keys["train"], vals.tolist()))
+        # return the DEVICE array; the epoch loop fetches once at the end
+        return (self._info_keys["train"], packed)
 
     def evaluate_step(self, batch):
         _, packed = self._eval_step(
