@@ -58,27 +58,28 @@ def ring_attention_local(
         k_cur, v_cur, out, lse = carry
         src = jnp.mod(my - step, P_)  # which shard's K/V we currently hold
         if causal:
-            # global offset between our queries and the held keys; the kernel
-            # needs a static offset, so compute with the worst-case offset 0
-            # and mask whole blocks via lse when the shard is fully future.
-            offset = (my - src) * S_loc
-            o_i, l_i = attention_with_lse(
-                q, k_cur, v_cur, causal=True, sm_scale=sm_scale,
-                causal_offset=0, use_pallas=use_pallas,
+            # src < my: keys fully in the past -> full attention over the
+            #           shard; src == my: diagonal -> causal (offset 0);
+            # src > my: keys fully in the future -> contribute nothing.
+            # lax.cond executes only the needed branch per step.
+            def diag_branch(args):
+                qq, kk, vv = args
+                return attention_with_lse(
+                    qq, kk, vv, causal=True, sm_scale=sm_scale,
+                    causal_offset=0, use_pallas=use_pallas,
+                )
+
+            def full_branch(args):
+                qq, kk, vv = args
+                return attention_with_lse(
+                    qq, kk, vv, causal=False, sm_scale=sm_scale,
+                    use_pallas=use_pallas,
+                )
+
+            o_step, l_step = jax.lax.cond(
+                src == my, diag_branch, full_branch, (q, k_cur, v_cur)
             )
-            o_full, l_full = attention_with_lse(
-                q, k_cur, v_cur, causal=False, sm_scale=sm_scale,
-                use_pallas=use_pallas,
-            )
-            # src < my: all keys in the past -> full attention over the shard
-            # src == my: diagonal -> causal (offset 0)
-            # src > my: all keys in the future -> contribute nothing
-            is_past = (src < my)[..., None, None]
             is_future = (src > my)[..., None, None]
-            o_step = jnp.where(
-                is_past[..., None], o_full, o_i
-            )
-            l_step = jnp.where(is_past, l_full, l_i)
             l_step = jnp.where(is_future, NEG, l_step)
         else:
             o_step, l_step = attention_with_lse(
