@@ -397,6 +397,14 @@ class LARP_AR(nn.Module):
 
 def _zoo(n_layer, n_head, dim):
     def ctor(**kwargs):
+        # Checkpoint meta stores the complete ModelArgs under the zoo name;
+        # drop the size keys (fixed by the zoo entry) and unknown keys so
+        # specs round-trip through save/load.
+        fields = set(ModelArgs.__dataclass_fields__)
+        kwargs = {
+            k: v for k, v in kwargs.items()
+            if k in fields and k not in ("n_layer", "n_head", "dim")
+        }
         return LARP_AR(ModelArgs(n_layer=n_layer, n_head=n_head, dim=dim, **kwargs))
 
     return ctor
