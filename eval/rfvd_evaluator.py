@@ -74,7 +74,7 @@ class UCFrFVDEvaluator:
         for bi, batch in enumerate(loader):
             if max_batches is not None and bi >= max_batches:
                 break
-            x = jnp.asarray(batch["gt"], jnp.float32)
+            x = jnp.asarray(common.video_to_float(batch["gt"]))
             rec = self._recon(self.params, x)
             B = x.shape[0]
             mse = jnp.mean((rec - x).reshape(B, -1) ** 2, axis=-1)

@@ -6,10 +6,13 @@
 // resize + crop + [0,1] normalize + CHW transpose over all frames of a clip
 // in one C++ call (OpenMP across frames), replacing a Python per-frame loop.
 //
-// Exposed function:
+// Exposed functions:
 //   resize_crop_chw(frames_u8, top, left, crop_h, crop_w, out_h, out_w)
 //     frames_u8: contiguous uint8 [T, H, W, 3]
 //     returns   float32 [3, T, out_h, out_w] in [0, 1]
+//   resize_crop_chw_u8(...)  same, but returns uint8 [3, T, out_h, out_w]
+//     in [0, 255] (rounded) — for pipelines that normalize on-device and
+//     ship 4x fewer bytes over the host->device link.
 // The crop window is taken first, then bilinearly resized to (out_h, out_w).
 //
 // Built as a plain CPython extension (no pybind11 — see repo build notes) by
@@ -75,9 +78,22 @@ inline void HRow(const uint8_t* row, int64_t left, const XCoef& c, int64_t ow,
   }
 }
 
+struct StoreFloat01 {
+  static float Map(float v) { return v * (1.0f / 255.0f); }
+  using T = float;
+};
+struct StoreU8 {
+  static uint8_t Map(float v) {
+    v += 0.5f;  // round-to-nearest; v is already in [0, 255]
+    return static_cast<uint8_t>(v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v));
+  }
+  using T = uint8_t;
+};
+
+template <typename Store>
 void ResizeFrameCHW(const uint8_t* src, int64_t H, int64_t W, int64_t top,
                     int64_t left, int64_t ch, int64_t cw, int64_t oh,
-                    int64_t ow, float* dst, int64_t plane_stride,
+                    int64_t ow, typename Store::T* dst, int64_t plane_stride,
                     const XCoef& xc, float* scratch /* [2][3*ow] */) {
   const float sy = static_cast<float>(ch) / static_cast<float>(oh);
   int64_t cached_y0 = -1, cached_y1 = -1;
@@ -104,19 +120,19 @@ void ResizeFrameCHW(const uint8_t* src, int64_t H, int64_t W, int64_t top,
       HRow(src + (top + y1) * W * 3, left, xc, ow, row_b);
       cached_y1 = y1;
     }
-    const float inv255 = 1.0f / 255.0f;
     for (int c = 0; c < 3; ++c) {
       const float* ra = row_a + c * ow;
       const float* rb = row_b + c * ow;
-      float* o = dst + c * plane_stride + y * ow;
+      typename Store::T* o = dst + c * plane_stride + y * ow;
       for (int64_t x = 0; x < ow; ++x) {
-        o[x] = (ra[x] + (rb[x] - ra[x]) * wy) * inv255;
+        o[x] = Store::Map(ra[x] + (rb[x] - ra[x]) * wy);
       }
     }
   }
 }
 
-PyObject* ResizeCropCHW(PyObject* /*self*/, PyObject* args) {
+template <typename Store>
+PyObject* ResizeCropCHWImpl(PyObject* args) {
   PyObject* frames_obj = nullptr;
   long long top, left, crop_h, crop_w, out_h, out_w;
   if (!PyArg_ParseTuple(args, "OLLLLLL", &frames_obj, &top, &left, &crop_h,
@@ -145,10 +161,11 @@ PyObject* ResizeCropCHW(PyObject* /*self*/, PyObject* args) {
   }
 
   const int64_t plane = T * out_h * out_w;
+  using OutT = typename Store::T;
   PyObject* out_bytes = PyBytes_FromStringAndSize(
-      nullptr, static_cast<Py_ssize_t>(3 * plane * sizeof(float)));
+      nullptr, static_cast<Py_ssize_t>(3 * plane * sizeof(OutT)));
   if (!out_bytes) return nullptr;
-  float* dst = reinterpret_cast<float*>(PyBytes_AS_STRING(out_bytes));
+  OutT* dst = reinterpret_cast<OutT*>(PyBytes_AS_STRING(out_bytes));
   const uint8_t* src = static_cast<const uint8_t*>(buf.view.buf);
 
   const XCoef xc = MakeXCoef(crop_w, out_w);
@@ -159,17 +176,17 @@ PyObject* ResizeCropCHW(PyObject* /*self*/, PyObject* args) {
     std::vector<float> scratch(2 * 3 * out_w);
 #pragma omp for schedule(static)
     for (int64_t t = 0; t < T; ++t) {
-      ResizeFrameCHW(src + t * H * W * 3, H, W, top, left, crop_h, crop_w,
-                     out_h, out_w, dst + t * out_h * out_w, plane, xc,
-                     scratch.data());
+      ResizeFrameCHW<Store>(src + t * H * W * 3, H, W, top, left, crop_h,
+                            crop_w, out_h, out_w, dst + t * out_h * out_w,
+                            plane, xc, scratch.data());
     }
   }
 #else
   std::vector<float> scratch(2 * 3 * out_w);
   for (int64_t t = 0; t < T; ++t) {
-    ResizeFrameCHW(src + t * H * W * 3, H, W, top, left, crop_h, crop_w,
-                   out_h, out_w, dst + t * out_h * out_w, plane, xc,
-                   scratch.data());
+    ResizeFrameCHW<Store>(src + t * H * W * 3, H, W, top, left, crop_h,
+                          crop_w, out_h, out_w, dst + t * out_h * out_w, plane,
+                          xc, scratch.data());
   }
 #endif
   Py_END_ALLOW_THREADS
@@ -177,9 +194,19 @@ PyObject* ResizeCropCHW(PyObject* /*self*/, PyObject* args) {
   return out_bytes;  // caller wraps via np.frombuffer(...).reshape(3,T,oh,ow)
 }
 
+PyObject* ResizeCropCHW(PyObject* /*self*/, PyObject* args) {
+  return ResizeCropCHWImpl<StoreFloat01>(args);
+}
+
+PyObject* ResizeCropCHWU8(PyObject* /*self*/, PyObject* args) {
+  return ResizeCropCHWImpl<StoreU8>(args);
+}
+
 PyMethodDef kMethods[] = {
     {"resize_crop_chw", ResizeCropCHW, METH_VARARGS,
      "Fused crop+bilinear-resize+normalize+CHW for a uint8 clip."},
+    {"resize_crop_chw_u8", ResizeCropCHWU8, METH_VARARGS,
+     "Fused crop+bilinear-resize+CHW for a uint8 clip; uint8 output."},
     {nullptr, nullptr, 0, nullptr},
 };
 

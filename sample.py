@@ -35,6 +35,7 @@ import video_tokenizer_tpu.data  # noqa: F401
 from video_tokenizer_tpu.generation import generate
 from video_tokenizer_tpu.metrics.fvd import FeatureStats, FVDCalculator
 from video_tokenizer_tpu.registry import datasets
+from video_tokenizer_tpu.utils.common import video_to_float
 from video_tokenizer_tpu.utils.model_io import load_model_from_checkpoint
 
 
@@ -106,7 +107,7 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
             break  # static shapes: drop ragged tail (counted in stats via num_samples)
         items = [dataset[j] for j in idx_chunk]
         labels = jnp.asarray([it["label"] for it in items], jnp.int32)
-        reals = np.stack([it["gt"] for it in items])
+        reals = video_to_float(np.stack([it["gt"] for it in items]))
 
         key, sub = jax.random.split(key)
         seq = generate(
@@ -204,7 +205,7 @@ def predict_frames(args, ar_model, ar_params, tokenizer, tok_params):
         if len(idx_chunk) < bs:
             break
         items = [dataset[j] for j in idx_chunk]
-        reals = np.stack([it["gt"] for it in items])
+        reals = video_to_float(np.stack([it["gt"] for it in items]))
         x = jnp.asarray(reals)
         x_cond = repeat_to_m_frames(
             x[:, :, : args.num_cond_frames], m=args.frame_num

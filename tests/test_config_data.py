@@ -62,9 +62,22 @@ class TestFakeDataset:
         assert ds.num_classes == 101
         item = ds[0]
         assert item["gt"].shape == (3, 4, 16, 16)
-        assert item["gt"].dtype == np.float32
-        assert 0.0 <= item["gt"].min() and item["gt"].max() <= 1.0
+        # default ships uint8 [0,255]; trainers normalize on-device
+        assert item["gt"].dtype == np.uint8
         assert item["label"] == 0 and ds[5]["label"] == 5
+
+    def test_float32_mode_matches_uint8(self):
+        from video_tokenizer_tpu.utils.common import video_to_float
+
+        kw = dict(
+            root_path="/tmp", frame_num=4, cls_vid_num="-1_-1",
+            crop_size=16, csv_file="null128", split="test",
+        )
+        a = VideoDataset(output_dtype="float32", **kw)[3]["gt"]
+        b = VideoDataset(output_dtype="uint8", **kw)[3]["gt"]
+        assert a.dtype == np.float32 and 0.0 <= a.min() and a.max() <= 1.0
+        # same eval rng -> same clip; u8 path quantizes to 1/255 grid
+        assert np.abs(video_to_float(b) - a).max() <= (0.5 / 255 + 1e-6)
 
     def test_loader_batches(self):
         ds = VideoDataset(

@@ -18,7 +18,9 @@ Re-expresses `/root/reference/datasets/video_dataset.py` without decord:
   * transforms: eval Resize(short side)+CenterCrop; train RandomResizedCrop +
     horizontal flip (video_dataset.py:42-56).
 
-Yields {'gt': float32 CTHW in [0,1], 'path': str, 'label': int} like the
+Yields {'gt': CTHW (uint8 [0,255] by default — normalized on-device by the
+trainers via utils.common.video_to_float; output_dtype='float32' for [0,1]
+floats), 'path': str, 'label': int} like the
 reference. Decoding runs in grain worker processes (see data/loader.py).
 """
 from __future__ import annotations
@@ -56,22 +58,31 @@ except ImportError:  # pragma: no cover
 
 
 def fused_window_to_chw(
-    frames_u8: np.ndarray, top: int, left: int, ch: int, cw: int, out: int
+    frames_u8: np.ndarray, top: int, left: int, ch: int, cw: int, out: int,
+    dtype: str = "float32",
 ) -> np.ndarray:
-    """uint8 [T,H,W,3] -> float32 [3,T,out,out] in [0,1]: crop window then
-    bilinear resize, fused (native ext when built, uint8 cv2 otherwise)."""
+    """uint8 [T,H,W,3] -> [3,T,out,out]: crop window then bilinear resize,
+    fused (native ext when built, uint8 cv2 otherwise).
+
+    dtype='float32': [0,1] floats.  dtype='uint8': raw [0,255] — ships 4x
+    fewer bytes host->device; consumers normalize on-chip
+    (`utils.common.video_to_float`)."""
     T = frames_u8.shape[0]
     if _HAS_NATIVE:
-        raw = _vn.resize_crop_chw(
+        fn = _vn.resize_crop_chw_u8 if dtype == "uint8" else _vn.resize_crop_chw
+        raw = fn(
             np.ascontiguousarray(frames_u8), int(top), int(left), int(ch),
             int(cw), int(out), int(out),
         )
-        return np.frombuffer(raw, np.float32).reshape(3, T, out, out).copy()
-    res = np.empty((T, out, out, 3), np.float32)
+        return np.frombuffer(raw, np.dtype(dtype)).reshape(3, T, out, out).copy()
+    res = np.empty((T, out, out, 3), np.uint8)
     for t in range(T):
         crop = frames_u8[t, top : top + ch, left : left + cw]
         res[t] = cv2.resize(crop, (out, out), interpolation=cv2.INTER_LINEAR)
-    return np.ascontiguousarray(res.transpose(3, 0, 1, 2)) / 255.0
+    chw = np.ascontiguousarray(res.transpose(3, 0, 1, 2))
+    if dtype == "uint8":
+        return chw
+    return chw.astype(np.float32) / 255.0
 
 
 def _read_frames_cv2(path: str, frame_indices: List[int]) -> np.ndarray:
@@ -191,6 +202,7 @@ class VideoDataset:
         use_all_frames: bool = False,
         pre_load: bool = False,
         seed: int = 0,
+        output_dtype: str = "uint8",
     ):
         assert frame_rate in ("uniform", "native")
         self.csv_file = csv_file
@@ -203,6 +215,8 @@ class VideoDataset:
         self.scale = scale
         self.aspect_ratio = aspect_ratio
         self.seed = seed
+        assert output_dtype in ("uint8", "float32")
+        self.output_dtype = output_dtype
         self.num_classes: Optional[int] = None
         self.label2action = None
         self.action2label = None
@@ -374,7 +388,9 @@ class VideoDataset:
         frames, path = self._load_raw(idx, rng)  # uint8 [T, H, W, 3]
         T, H, W, _ = frames.shape
         top, left, ch, cw = self.cur_tfm.compute_window(H, W, rng)
-        video = fused_window_to_chw(frames, top, left, ch, cw, self.crop_size)
+        video = fused_window_to_chw(
+            frames, top, left, ch, cw, self.crop_size, dtype=self.output_dtype
+        )
         if self.rand_flip and self.split == "train" and rng.rand() < 0.5:
             video = video[:, :, :, ::-1].copy()
         t = video.shape[1]

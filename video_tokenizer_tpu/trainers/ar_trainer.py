@@ -193,7 +193,7 @@ class _ARTrainerBase(BaseTrainer):
 
     def _make_cond_and_targets(self, vae_params, batch, rng):
         """Returns (cond, z). Overridden by the FP trainer."""
-        x = batch["gt"].astype(jnp.float32)
+        x = common.video_to_float(batch["gt"])
         z = self._encode_tokens(vae_params, x, rng)
         cond = batch["label"].astype(jnp.int32)
         return cond, z
@@ -269,7 +269,7 @@ class _ARTrainerBase(BaseTrainer):
             n = min(self.sample_batch_size, 4)
             if self.frame_prediction:
                 batch = next(iter(self.test_loader(next(iter(self.test_datasets)))))
-                x = jnp.asarray(batch["gt"][:n])
+                x = jnp.asarray(common.video_to_float(batch["gt"][:n]))
                 x_cond = common.repeat_to_m_frames(
                     x[:, :, : self.num_cond_frames], m=self.num_frames
                 )
@@ -360,7 +360,7 @@ class LARPARFramePredictionTrainer(_ARTrainerBase):
     frame_prediction = True
 
     def _make_cond_and_targets(self, vae_params, batch, rng):
-        x = batch["gt"].astype(jnp.float32)
+        x = common.video_to_float(batch["gt"])
         x_cond = common.repeat_to_m_frames(
             x[:, :, : self.num_cond_frames], m=self.num_frames
         )

@@ -263,7 +263,7 @@ class LARPTokenizerTrainer(BaseTrainer):
         return jnp.asarray(0.0), {}
 
     def _step_impl(self, state, batch, epoch, is_train: bool):
-        data = batch["gt"].astype(jnp.float32)
+        data = common.video_to_float(batch["gt"])
         rng = state["rng"]
         rng, r_vq, r_gan_d, r_gan_g = jax.random.split(rng, 4)
         step = state["step"]
@@ -434,12 +434,13 @@ class LARPTokenizerTrainer(BaseTrainer):
         )
         info = dict(zip(self._info_keys["eval"], np.asarray(packed).tolist()))
         if self.fvd_calc is not None and batch["gt"].shape[2] >= 10:
-            recon = self._recon_fn(self.state, batch["gt"].astype(jnp.float32))
+            gt = common.video_to_float(batch["gt"])
+            recon = self._recon_fn(self.state, gt)
             self._fake_stats = self.fvd_calc.get_feature_stats_for_batch(
                 recon, getattr(self, "_fake_stats", None)
             )
             self._real_stats = self.fvd_calc.get_feature_stats_for_batch(
-                batch["gt"], getattr(self, "_real_stats", None)
+                gt, getattr(self, "_real_stats", None)
             )
         return info
 
@@ -467,7 +468,7 @@ class LARPTokenizerTrainer(BaseTrainer):
         try:
             name = next(iter(self.test_datasets))
             batch = next(iter(self.test_loader(name)))
-            data = jnp.asarray(batch["gt"][:4])
+            data = jnp.asarray(common.video_to_float(batch["gt"][:4]))
             out = self.model.apply(
                 {"params": self.state["params"]}, data, train=False,
                 rngs={"vq": jax.random.PRNGKey(0)},

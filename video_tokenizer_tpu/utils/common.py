@@ -102,6 +102,20 @@ def repeat_to_m_frames(x: jax.Array, m: int = 16, axis: int = 2) -> jax.Array:
     return jnp.repeat(x, m // t, axis=axis)
 
 
+def video_to_float(x):
+    """Batch video to float32 in [0,1].
+
+    The input pipeline ships uint8 [0,255] clips (4x fewer bytes over the
+    host->device link than float32); every consumer normalizes on-device
+    through this helper. Float inputs pass through (cast to float32), so
+    `output_dtype: float32` datasets and synthetic test batches keep working.
+    Works on numpy and jax arrays alike; dtype is static under jit.
+    """
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / np.float32(255.0)
+    return x.astype(np.float32)
+
+
 def psnr_from_mse(mse: jax.Array, max_val: float = 1.0) -> jax.Array:
     return 10.0 * jnp.log10(max_val**2 / jnp.maximum(mse, 1e-10))
 
