@@ -5,10 +5,18 @@ sharding/collective behavior runs on 8 virtual CPU devices. Must run before
 any JAX backend initialization (the axon sitecustomize pins JAX_PLATFORMS to
 the single-chip TPU tunnel, so env vars alone don't work).
 """
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# persistent compile cache: repeated GAN-step compiles dominate suite time
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/jax_comp_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

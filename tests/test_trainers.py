@@ -179,3 +179,49 @@ class TestARTrainer:
         # labels by running a second step without error
         info2 = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
         assert np.isfinite(info2["loss"])
+
+
+class TestEpochLoop:
+    def test_run_full_epoch_uint8_profile_final_ckpt(self, tmp_path):
+        """trainer.run(): real loader (uint8 clips), deferred telemetry,
+        jax.profiler trace, and the slim epoch-final export reloading via
+        load_model_from_checkpoint."""
+        import os
+
+        from video_tokenizer_tpu.utils.model_io import load_model_from_checkpoint
+
+        cfg = _tok_cfg(tmp_path, ema_decay="0.999", profile_steps=1)
+        # 2 steps/epoch: shrink the fake dataset via batch accounting
+        cfg["train_dataset"]["loader"]["batch_size"] = 8
+        cfg["latest_interval"] = 10  # never: epoch-final must still appear
+        tr = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr.make_datasets()
+        # keep it cheap: trim the epoch to 2 batches
+        full_loader = tr.train_loader
+
+        def short_loader(epoch):
+            for i, b in enumerate(full_loader(epoch)):
+                if i >= 2:
+                    break
+                assert b["gt"].dtype == np.uint8  # pipeline ships uint8
+                yield b
+
+        tr.train_loader = short_loader
+        tr.n_steps_per_epoch = 2
+        tr.make_model()
+        tr.run()
+
+        assert tr.train_loss and np.isfinite(tr.train_loss[-1])
+        prof = os.path.join(cfg["save_dir"], "profile")
+        assert os.path.isdir(prof) and os.listdir(prof)  # trace captured
+        final = os.path.join(cfg["save_dir"], "epoch-final")
+        assert os.path.isdir(final)
+        model, params = load_model_from_checkpoint(final)
+        out = model.apply(
+            {"params": params},
+            np.random.rand(1, 3, 8, 32, 32).astype(np.float32),
+        )
+        assert out["pred_frames"].shape == (1, 3, 8, 32, 32)
+        # EMA variant loads too
+        _, ema = load_model_from_checkpoint(final, version="ema_0.999")
+        assert ema is not None

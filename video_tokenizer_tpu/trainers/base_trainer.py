@@ -260,6 +260,21 @@ class BaseTrainer:
         if save_best:
             self._maybe_save_best()
 
+    def save_final_checkpoint(self):
+        """Slim end-of-training export: params/EMA only, optimizer + RNG
+        dropped (reference base_trainer.py:831-859 — final-epoch checkpoints
+        strip optimizer/RNG; `model_sd_only` export). Always written, even
+        when `latest_interval` never divides `max_epoch`, so every completed
+        run leaves a loadable checkpoint."""
+        state = self.state_for_checkpoint()
+        keep = {
+            k: v for k, v in state.items()
+            if k in ("params", "ema_params", "loss_params", "step")
+        }
+        path = os.path.join(self.save_dir, "epoch-final")
+        ckpt_lib.save_checkpoint(path, keep, self.checkpoint_meta())
+        self.log(f"final slim checkpoint saved to {path}")
+
     def _maybe_save_best(self):
         """Keep a single best_fvd_<value> checkpoint (reference
         base_trainer.py:863-891: best-by-FVD file naming)."""
@@ -366,13 +381,35 @@ class BaseTrainer:
             self.log(", ".join(self.log_buffer))
 
         self.dump_csv()
+        if max_epoch >= self.starting_epoch:
+            self.save_final_checkpoint()
 
     def train_epoch(self):
         ave: Dict[str, common.Averager] = {}
         deferred = []  # (keys, device_array) — fetched once at epoch end
+        # `profile_steps: N` in cfg captures a jax.profiler device trace of
+        # the first N steps (skipping step 1 = compile) to save_dir/profile,
+        # viewable in Perfetto/TensorBoard (SURVEY.md §5: the reference has
+        # wall-clock instrumentation only; this is the TPU-native upgrade).
+        profile_steps = int(self.cfg.get("profile_steps", 0))
+        profiling = False
+        epoch_step = 0
         t1 = time.time()
         for batch in self.train_loader(self.epoch):
             self.global_step += 1
+            epoch_step += 1
+            if profile_steps and self.epoch == self.starting_epoch:
+                if epoch_step == 2:
+                    jax.profiler.start_trace(
+                        os.path.join(self.save_dir, "profile")
+                    )
+                    profiling = True
+                elif profiling and epoch_step == 2 + profile_steps:
+                    jax.block_until_ready(deferred[-1][1] if deferred else 0)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.log(f"profiler trace ({profile_steps} steps) -> "
+                             f"{os.path.join(self.save_dir, 'profile')}")
             t0 = time.time()
             self.t_data += t0 - t1
             batch_dev = shard_batch(self.mesh, {"gt": batch["gt"], "label": batch.get("label", np.zeros(len(batch["gt"])))})
@@ -387,6 +424,9 @@ class BaseTrainer:
                 for k, v in ret.items():
                     ave.setdefault(k, common.Averager()).add(float(v), n=B)
             t1 = time.time()
+        if profiling:
+            jax.block_until_ready(deferred[-1][1] if deferred else 0)
+            jax.profiler.stop_trace()
 
         for keys, packed in deferred:
             vals = np.asarray(packed)
