@@ -203,14 +203,30 @@ class BaseTrainer:
             )
 
     def train_loader(self, epoch: int):
-        return make_loader(
-            self.train_dataset,
-            self.train_batch_size,
-            num_workers=self.train_workers,
-            shuffle=True,
-            seed=int(self.cfg.get("manualSeed", 0) or 0) + epoch,
-            num_epochs=1,
-        )
+        """One epoch of batches from a PERSISTENT grain stream.
+
+        The worker pool is spawned once for the whole run: each grain worker
+        process re-imports jax (~20s startup), so rebuilding the DataLoader
+        per epoch — the reference's torch-DataLoader pattern
+        (base_trainer.py:312-323, persistent_workers unset) — costs more
+        than an entire short epoch. grain reshuffles every pass over the
+        dataset internally; `epoch` is unused (kept for the hook signature).
+        """
+        if getattr(self, "_train_stream", None) is None:
+            self._train_stream = make_loader(
+                self.train_dataset,
+                self.train_batch_size,
+                num_workers=self.train_workers,
+                shuffle=True,
+                seed=int(self.cfg.get("manualSeed", 0) or 0),
+                num_epochs=None,
+            )
+
+        def _one_epoch():
+            for _ in range(self.n_steps_per_epoch):
+                yield next(self._train_stream)
+
+        return _one_epoch()
 
     def test_loader(self, name: str):
         return make_loader(
