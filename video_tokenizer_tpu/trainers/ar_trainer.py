@@ -175,7 +175,31 @@ class _ARTrainerBase(BaseTrainer):
             "rng": jax.random.fold_in(self.base_key, 99),
         }
         rep = replicated_sharding(self.mesh)
-        self.state = jax.device_put(state, rep)
+        # cfg `param_placement: fsdp` shards params + Adam moments + EMA over
+        # the 'data' mesh axis (ZeRO-3 via GSPMD — parallel/fsdp.py); XLA
+        # inserts the all-gathers/reduce-scatters. Default: replicated (DDP
+        # equivalent, like the reference). Needed for llama-abs-XXL/XXXL,
+        # whose fp32 params+Adam exceed one chip's HBM.
+        placement = str(self.cfg.get("param_placement", "replicated"))
+        if placement == "fsdp":
+            from ..parallel.fsdp import shard_like_params, shard_params_fsdp
+
+            min_size = int(self.cfg.get("fsdp_min_size", 2**16))
+            state["params"] = shard_params_fsdp(
+                state["params"], self.mesh, min_size=min_size
+            )
+            state["opt"] = shard_like_params(
+                state["opt"], state["params"], self.mesh
+            )
+            state["ema_params"] = {
+                k: shard_like_params(v, state["params"], self.mesh)
+                for k, v in state["ema_params"].items()
+            }
+            for k in ("step", "rng"):
+                state[k] = jax.device_put(state[k], rep)
+            self.state = state
+        else:
+            self.state = jax.device_put(state, rep)
         self.vae_params = jax.device_put(self.vae_params, rep)
 
         self._train_step = jax.jit(
