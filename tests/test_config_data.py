@@ -115,3 +115,18 @@ class TestVideoTransform:
         v = np.random.rand(3, 2, 16, 16).astype(np.float32)
         out = tfm(v, np.random.RandomState(0))
         assert out.shape == (3, 2, 8, 8)
+
+
+class TestCommonUtils:
+    def test_repeat_to_m_frames_pads_with_last(self):
+        import jax.numpy as jnp
+        from video_tokenizer_tpu.utils.common import repeat_to_m_frames
+
+        x = jnp.arange(5, dtype=jnp.float32).reshape(1, 1, 5, 1, 1)
+        y = repeat_to_m_frames(x, m=16)
+        assert y.shape[2] == 16
+        got = np.asarray(y[0, 0, :, 0, 0])
+        assert np.array_equal(got[:5], np.arange(5))
+        assert np.all(got[5:] == 4.0)  # last frame repeated
+        # t >= m passes through untouched
+        assert repeat_to_m_frames(x, m=4).shape[2] == 5

@@ -371,7 +371,17 @@ class _ARTrainerBase(BaseTrainer):
         return self.state
 
     def load_state(self, state):
-        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        if str(self.cfg.get("param_placement", "replicated")) == "fsdp":
+            # re-apply the FSDP layout on resume: restored host arrays would
+            # otherwise land replicated and OOM the very models FSDP exists
+            # for. self.state already carries the sharded layout from
+            # make_model — copy each restored leaf to its sharding.
+            self.state = jax.tree_util.tree_map(
+                lambda cur, new: jax.device_put(new, cur.sharding),
+                self.state, state,
+            )
+        else:
+            self.state = jax.device_put(state, replicated_sharding(self.mesh))
 
 
 @trainers.register("larp_ar_trainer")

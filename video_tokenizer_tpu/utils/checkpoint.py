@@ -52,12 +52,19 @@ def restore_checkpoint(path: str, target: Any = None) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-            if hasattr(x, "dtype")
-            else x,
-            target,
-        )
+        def absify(x):
+            if not hasattr(x, "dtype"):
+                return x
+            # preserve target shardings (e.g. FSDP layouts): orbax then
+            # restores each leaf straight into its sharded placement
+            sharding = getattr(x, "sharding", None)
+            if isinstance(sharding, jax.sharding.NamedSharding):
+                return jax.ShapeDtypeStruct(
+                    np.shape(x), x.dtype, sharding=sharding
+                )
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+
+        abstract = jax.tree_util.tree_map(absify, target)
         return ckptr.restore(os.path.join(path, "state"), abstract)
     return ckptr.restore(os.path.join(path, "state"))
 

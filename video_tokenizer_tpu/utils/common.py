@@ -94,12 +94,15 @@ class EpochTimer:
 
 
 def repeat_to_m_frames(x: jax.Array, m: int = 16, axis: int = 2) -> jax.Array:
-    """Tile frames along `axis` to reach m frames (utils/common.py:205-212)."""
+    """Pad to m frames along `axis` by repeating the LAST frame
+    (reference utils/common.py:205-212; t >= m passes through)."""
     t = x.shape[axis]
-    if t == m:
+    if t >= m:
         return x
-    assert m % t == 0, f"cannot repeat {t} frames to {m}"
-    return jnp.repeat(x, m // t, axis=axis)
+    last = jax.lax.slice_in_dim(x, t - 1, t, axis=axis)
+    reps = [1] * x.ndim
+    reps[axis] = m - t
+    return jnp.concatenate([x, jnp.tile(last, reps)], axis=axis)
 
 
 def video_to_float(x):
