@@ -130,3 +130,58 @@ class TestCommonUtils:
         assert np.all(got[5:] == 4.0)  # last frame repeated
         # t >= m passes through untouched
         assert repeat_to_m_frames(x, m=4).shape[2] == 5
+
+
+class TestRealVideoDecode:
+    def test_csv_dataset_decodes_mp4(self, tmp_path):
+        """Full real-file path: cv2 decode -> window -> fused transform."""
+        import cv2
+
+        rows = ["id,path,action,label"]
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            p = str(tmp_path / f"v_Act{i}_g{i:02d}.mp4")
+            w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+            for t in range(12):
+                w.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+            w.release()
+            rows.append(f"{i},{p},Act{i},{i}")
+        (tmp_path / "vids.csv").write_text("\n".join(rows))
+
+        ds = VideoDataset(
+            root_path=str(tmp_path), frame_num=8, cls_vid_num="-1_-1",
+            crop_size=32, csv_file="vids.csv", split="train",
+        )
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["gt"].shape == (3, 8, 32, 32)
+        assert item["gt"].dtype == np.uint8
+        # non-ucf csv -> label -1 (reference video_dataset.py:229 gates label
+        # derivation on the 'ucf' stem)
+        assert item["label"] == -1
+
+    def test_use_all_frames_index_cache(self, tmp_path):
+        import cv2
+
+        p = str(tmp_path / "v_A_g00.mp4")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+        rng = np.random.RandomState(0)
+        for t in range(20):
+            w.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+        w.release()
+        (tmp_path / "vids.csv").write_text(f"id,path,action,label\n0,{p},A,0")
+        ds = VideoDataset(
+            root_path=str(tmp_path), frame_num=8, cls_vid_num="-1_-1",
+            crop_size=32, csv_file="vids.csv", split="train",
+            use_all_frames=True,
+        )
+        # 20 frames // 8 = 2 windows
+        assert len(ds) == 2
+        assert ds[1]["gt"].shape == (3, 8, 32, 32)
+        # cache file written and reused
+        ds2 = VideoDataset(
+            root_path=str(tmp_path), frame_num=8, cls_vid_num="-1_-1",
+            crop_size=32, csv_file="vids.csv", split="train",
+            use_all_frames=True,
+        )
+        assert len(ds2) == 2
