@@ -187,3 +187,42 @@ class TestFSDPCheckpoint:
         assert np.allclose(
             np.asarray(t2), np.asarray(params["tok_embeddings"]["embedding"])
         )
+
+
+class TestTokenizerTrainerFSDP:
+    def test_tokenizer_fsdp_step_and_resume(self, tmp_path):
+        """Tokenizer GAN trainer with FSDP generator: step runs, resume
+        restores into the sharded layout."""
+        import video_tokenizer_tpu.trainers  # noqa: F401
+        import video_tokenizer_tpu.data  # noqa: F401
+        from video_tokenizer_tpu.registry import trainers
+        from video_tokenizer_tpu.parallel import shard_batch
+        from tests.test_trainers import _tok_cfg, _batch, _fetch
+
+        cfg = _tok_cfg(tmp_path)
+        cfg["param_placement"] = "fsdp"
+        cfg["fsdp_min_size"] = 512
+        tr = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.epoch = 1
+        tr.make_model()
+        pe0 = tr.state["params"]["x_embedder"]["proj"]["kernel"]
+        assert pe0.addressable_shards[0].data.size < pe0.size  # sharded
+        info = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
+        assert np.isfinite(info["loss"])
+        # the step donates the old state; read the post-step params
+        pe = np.asarray(tr.state["params"]["x_embedder"]["proj"]["kernel"])
+        tr.save_checkpoint("epoch-last")
+
+        tr2 = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr2.make_datasets()
+        tr2.n_steps_per_epoch = 4
+        tr2.epoch = 1
+        tr2.make_model()
+        assert tr2.try_resume()
+        pe2 = tr2.state["params"]["x_embedder"]["proj"]["kernel"]
+        assert pe2.addressable_shards[0].data.size < pe2.size  # still sharded
+        assert np.array_equal(pe, np.asarray(pe2))
+        info2 = _fetch(tr2.train_step(shard_batch(tr2.mesh, _batch())))
+        assert np.isfinite(info2["loss"])

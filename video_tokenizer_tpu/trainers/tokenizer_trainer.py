@@ -194,7 +194,29 @@ class LARPTokenizerTrainer(BaseTrainer):
             "rng": jax.random.fold_in(self.base_key, 1234),
         }
         rep = replicated_sharding(self.mesh)
-        self.state = jax.device_put(state, rep)
+        # cfg `param_placement: fsdp`: generator params + Adam moments + EMA
+        # shard over 'data' (ZeRO via GSPMD — parallel/fsdp.py). The
+        # discriminator (loss_params, ~30M) stays replicated: its gather
+        # would cost more than it saves. Default: replicated (= reference).
+        if str(self.cfg.get("param_placement", "replicated")) == "fsdp":
+            from ..parallel.fsdp import shard_like_params, shard_params_fsdp
+
+            min_size = int(self.cfg.get("fsdp_min_size", 2**16))
+            state["params"] = shard_params_fsdp(
+                state["params"], self.mesh, min_size=min_size
+            )
+            state["opt_g"] = shard_like_params(
+                state["opt_g"], state["params"], self.mesh
+            )
+            state["ema_params"] = {
+                k: shard_like_params(v, state["params"], self.mesh)
+                for k, v in state["ema_params"].items()
+            }
+            for k in ("loss_params", "loss_ema", "opt_d", "step", "rng"):
+                state[k] = jax.device_put(state[k], rep)
+            self.state = state
+        else:
+            self.state = jax.device_put(state, rep)
 
         self._train_step = jax.jit(
             functools.partial(self._step_impl, is_train=True),
@@ -508,4 +530,11 @@ class LARPTokenizerTrainer(BaseTrainer):
         return self.state
 
     def load_state(self, state):
-        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        if str(self.cfg.get("param_placement", "replicated")) == "fsdp":
+            # re-apply the FSDP layout from make_model on resume
+            self.state = jax.tree_util.tree_map(
+                lambda cur, new: jax.device_put(new, cur.sharding),
+                self.state, state,
+            )
+        else:
+            self.state = jax.device_put(state, replicated_sharding(self.mesh))
