@@ -225,3 +225,32 @@ class TestEpochLoop:
         # EMA variant loads too
         _, ema = load_model_from_checkpoint(final, version="ema_0.999")
         assert ema is not None
+
+
+class TestVisualization:
+    def test_visualize_epoch_writes_grid_and_tb(self, tmp_path):
+        import os
+
+        cfg = _tok_cfg(tmp_path)
+        cfg["test_dataset"] = {
+            "name": "video_dataset",
+            "args": {
+                "root_path": "/tmp", "frame_num": 8, "csv_file": "",
+                "crop_size": 32, "cls_vid_num": "-1_-1",
+            },
+            "csv_paths": {"fake": "null128"},
+            "loader": {"batch_size": 4, "num_workers": 0},
+        }
+        tr = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.epoch = 1
+        tr.make_model()
+        tr.visualize_epoch()
+        png = os.path.join(cfg["save_dir"], "vis", "epoch_1.png")
+        assert os.path.exists(png), "vis grid not written"
+        tb_dir = os.path.join(cfg["save_dir"], "tensorboard")
+        assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
+        # the vis path must not have swallowed an exception
+        log = open(os.path.join(cfg["save_dir"], "log.txt")).read()
+        assert "visualize_epoch failed" not in log

@@ -501,6 +501,32 @@ class LARPTokenizerTrainer(BaseTrainer):
                 np.asarray(data), pred,
                 os.path.join(vis_dir, f"epoch_{self.epoch}.png"),
             )
+            if self.writer is not None:
+                # TB videos like the reference (larp_tokenizer_trainer.py:432);
+                # add_video needs moviepy — fall back to the image grid
+                import torch
+
+                import cv2
+
+                grid = cv2.cvtColor(
+                    cv2.imread(os.path.join(vis_dir, f"epoch_{self.epoch}.png")),
+                    cv2.COLOR_BGR2RGB,
+                )
+                self.writer.add_image(
+                    "vis/gt_vs_recon_grid", grid, self.epoch, dataformats="HWC"
+                )
+                try:
+                    vids = np.stack([np.asarray(data), np.clip(pred, 0, 1)], 0)
+                    vids = vids.reshape((-1,) + vids.shape[2:])
+                    self.writer.add_video(
+                        "vis/gt_vs_recon",
+                        torch.from_numpy(
+                            (vids.transpose(0, 2, 1, 3, 4) * 255).astype(np.uint8)
+                        ),
+                        self.epoch,
+                    )
+                except Exception:
+                    pass  # moviepy not installed
         except Exception as e:  # visualization must never kill training
             self.log(f"visualize_epoch failed: {e}")
 
