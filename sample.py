@@ -94,6 +94,11 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
             tokenizer.apply(p, seq, method=tokenizer.decode_from_bottleneck
                             ).astype(jnp.float32), 0.0, 1.0)
     )
+    # teacher-forced NLL of the sampled sequences (reference sample.py:177-184)
+    nll_fn = jax.jit(
+        lambda p, cond, seq: ar_model.apply(p, seq[:, :-1], cond, targets=seq)[1]
+    )
+    nlls = []
 
     executor = ThreadPoolExecutor(max_workers=4)
     futures = []
@@ -116,6 +121,7 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
             cfg_scale=args.cfg_scale, cfg_interval=args.cfg_interval,
             temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         )
+        nlls.append(float(nll_fn({"params": ar_params}, labels, seq)))
         videos = np.asarray(decode_fn({"params": tok_params}, seq))
 
         gen_stats = fvd.get_feature_stats_for_batch(jnp.asarray(videos), gen_stats)
@@ -136,6 +142,9 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
     job_tag = f"{args.starting_index}"
     gen_stats.save(out_dir / f"gen_stats_{job_tag}.pkl")
     real_stats.save(out_dir / f"real_stats_{job_tag}.pkl")
+    if nlls:
+        args.nll_sampled = float(np.mean(nlls))
+        print(f"NLL of sampled sequences: {args.nll_sampled:.4f}")
     return gen_stats, real_stats, out_dir
 
 
@@ -272,12 +281,16 @@ def finalize_multi_job(args, out_dir: Path):
                 if not exists:
                     w.writerow(
                         ["time", "ar_model", "tokenizer", "cfg_scale", "top_k",
-                         "top_p", "temperature", "num_samples", "fvd"]
+                         "top_p", "temperature", "num_samples", "nll_sampled",
+                         "fvd"]
                     )
+                nll = getattr(args, "nll_sampled", None)
                 w.writerow(
                     [time.strftime("%Y-%m-%d %H:%M:%S"), args.ar_model,
                      args.tokenizer, args.cfg_scale, args.top_k, args.top_p,
-                     args.temperature, gen.num_items, f"{fvd:.4f}"]
+                     args.temperature, gen.num_items,
+                     f"{nll:.4f}" if nll is not None else "",
+                     f"{fvd:.4f}"]
                 )
         return fvd
 
