@@ -73,3 +73,41 @@ class TestCollectivePatterns:
         s, ss, n = stats(x)
         assert np.allclose(np.asarray(s), feats.sum(0), atol=1e-9)
         assert np.allclose(np.asarray(ss), feats.T @ feats, atol=1e-9)
+
+
+class TestBatchNormOnMesh:
+    def test_bn_bottleneck_global_stats_under_jit(self):
+        """'bn_bn' bottleneck norm: jitted step on a sharded batch computes
+        GLOBAL batch statistics (the SyncBatchNorm equivalent under GSPMD)."""
+        import jax.numpy as jnp
+        from video_tokenizer_tpu.models.bottleneck import Bottleneck
+
+        bn = Bottleneck(
+            bottleneck_dim=8, norm="bn_bn", input_dim=32, output_dim=32,
+            token_nums=4,
+            regularizer={"name": "vq", "args": {"codebook_size": 16}},
+        )
+        z = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 32))
+        v = bn.init(
+            {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)},
+            z, train=True,
+        )
+
+        step = jax.jit(
+            lambda v, z: bn.apply(
+                v, z, train=True, mutable=["batch_stats"],
+                rngs={"vq": jax.random.PRNGKey(3)},
+            )
+        )
+        # single device
+        _, upd_single = step(v, z)
+        # batch sharded over the 8-device mesh
+        mesh = create_mesh()
+        z_sh = jax.device_put(z, data_sharding(mesh, z.ndim))
+        v_rep = jax.device_put(v, replicated_sharding(mesh))
+        _, upd_mesh = step(v_rep, z_sh)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(upd_single),
+            jax.tree_util.tree_leaves(upd_mesh),
+        ):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -238,8 +238,12 @@ class Bottleneck(nn.Module):
                 reduction_axes=(-2, -1), feature_axes=(-2, -1)
             )
         elif self._norm in ("bn_bn", "bn_b"):
-            # SyncBatchNorm equivalent: BatchNorm with cross-device axis sync.
-            self.norm_layer = nn.BatchNorm(axis_name="data", momentum=0.9)
+            # SyncBatchNorm equivalent (reference bottleneck.py converts BN
+            # under DDP): under GSPMD jit the batch dim is logically global —
+            # XLA computes the reduction over the full sharded batch, so a
+            # plain BatchNorm already syncs. axis_name would be wrong here:
+            # named axes only exist under shard_map/pmap, not jit.
+            self.norm_layer = nn.BatchNorm(momentum=0.9)
         elif self._norm is not None:
             raise ValueError(f"Normalization type {self._norm} not supported")
 
