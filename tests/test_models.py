@@ -256,3 +256,97 @@ class TestTopKTopP:
         assert np.allclose(
             np.asarray(top_k_top_p_filtering(logits, top_p=1.0)), np.asarray(logits)
         )
+
+
+class TestBottleneckConfigMatrix:
+    """Every cfg-reachable bottleneck (norm x regularizer) must run under a
+    jitted train step — latent-config crashes (like unbound axis names) are
+    invisible until someone flips the yaml knob."""
+
+    @pytest.mark.parametrize("norm", ["none", "ln_d", "ln_d_na", "ln_nd",
+                                      "bn_bn", "bn_b"])
+    @pytest.mark.parametrize("reg", ["vq", "skl", "none"])
+    def test_norm_reg_combo_jits(self, norm, reg):
+        from video_tokenizer_tpu.models.bottleneck import Bottleneck
+
+        if reg == "vq":
+            reg_spec = {"name": "vq", "args": {"codebook_size": 16}}
+        elif reg == "skl":
+            reg_spec = {"name": "skl", "args": {}}
+        else:
+            reg_spec = {"name": "none"}
+        bn = Bottleneck(
+            bottleneck_dim=8, norm=norm, input_dim=32, output_dim=32,
+            token_nums=4, regularizer=reg_spec,
+        )
+        z = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 32))
+        rngs = {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)}
+        v = bn.init(rngs, z, train=True)
+
+        @jax.jit
+        def step(v, z):
+            return bn.apply(
+                v, z, train=True,
+                mutable=["batch_stats"] if "bn" in norm else [],
+                rngs={"vq": jax.random.PRNGKey(3)},
+            )
+
+        out = step(v, z)
+        out0 = out[0] if isinstance(out, tuple) else out
+        assert np.isfinite(np.asarray(out0["output"], dtype=np.float32)).all()
+
+
+class TestLossConfigMatrix:
+    """All disc_loss x pixel_loss (+ lecam, R1) combos of the GAN loss run
+    under jit. Params are re-initialized per combo (same structure) but the
+    matrix is tiny: 8-frame 32x32 clips, 1-layer discriminator."""
+
+    @pytest.mark.parametrize("disc_loss", ["hinge", "ns", "ns_smooth"])
+    @pytest.mark.parametrize("pixel_loss", ["l1", "l2"])
+    def test_gan_loss_combo(self, disc_loss, pixel_loss):
+        from video_tokenizer_tpu.registry import models as model_reg
+        import video_tokenizer_tpu.models  # noqa: F401
+
+        loss_mod = model_reg.make({
+            "name": "lpips_disc_loss",
+            "args": {
+                "disc_start": 0, "disc_loss": disc_loss,
+                "pixel_loss": pixel_loss, "disc_weight": 0.3,
+                "lecam_weight": 0.001, "r1_gp_weight": 0.01,
+                "d_update_freq": 1, "disc_tran_hidden_size": 64,
+                "disc_tran_n_heads": 4, "disc_tran_n_layers": 1,
+                "disc_tran_temporal_patch_size": 4, "disc_tran_patch_size": 8,
+                "input_spatial_size": 32, "frame_num": 8,
+            },
+        })
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 32, 32))
+        y = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 8, 32, 32))
+        variables = loss_mod.init(
+            {"params": jax.random.PRNGKey(2), "gan": jax.random.PRNGKey(3)},
+            x, y, method=loss_mod.initialize,
+        )
+
+        @jax.jit
+        def g_loss(v, x, y):
+            out = loss_mod.apply(
+                v, x, y, jnp.asarray(0, jnp.int32),
+                method=loss_mod.generator_loss,
+                rngs={"gan": jax.random.PRNGKey(4)},
+            )
+            return out
+
+        @jax.jit
+        def d_loss(v, x, y):
+            out, _ = loss_mod.apply(
+                v, x, y, jnp.asarray(0, jnp.int32),
+                method=loss_mod.discriminator_loss, train=True,
+                mutable=["ema"], rngs={"gan": jax.random.PRNGKey(5)},
+            )
+            return out
+
+        g = g_loss(variables, x, y)
+        d = d_loss(variables, x, y)
+        g0 = g[0] if isinstance(g, tuple) else g
+        d0 = d[0] if isinstance(d, tuple) else d
+        leaves = jax.tree_util.tree_leaves((g0, d0))
+        assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in leaves)
