@@ -350,3 +350,63 @@ class TestLossConfigMatrix:
         d0 = d[0] if isinstance(d, tuple) else d
         leaves = jax.tree_util.tree_leaves((g0, d0))
         assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in leaves)
+
+
+class TestARConfigMatrix:
+    """AR ModelArgs knobs that cfgs can flip must all train + generate."""
+
+    @pytest.mark.parametrize("kw", [
+        dict(use_fixed_pe=True),
+        dict(n_kv_head=None),
+        dict(drop_path_rate=0.1),
+        dict(token_dropout_p=0.1, resid_dropout_p=0.1, ffn_dropout_p=0.1),
+    ])
+    def test_train_and_generate(self, kw):
+        base = dict(
+            dim=64, n_layer=2, n_head=4, n_kv_head=2, vocab_size=32,
+            num_classes=5, max_seq_len=8, token_dropout_p=0.0,
+            resid_dropout_p=0.0, ffn_dropout_p=0.0,
+        )
+        base.update(kw)
+        model = LARP_AR(ModelArgs(**base))
+        idx = jnp.zeros((2, 7), jnp.int32)
+        cond = jnp.array([0, 1])
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            idx, cond,
+        )
+        tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 32)
+
+        @jax.jit
+        def loss(v, idx, cond, tgt):
+            _, l = model.apply(
+                v, idx, cond, targets=tgt, train=True,
+                rngs={"dropout": jax.random.PRNGKey(3)},
+            )
+            return l
+
+        l = loss(variables, idx, cond, tgt)
+        assert np.isfinite(float(l))
+        seq = generate(model, variables, cond, 8, jax.random.PRNGKey(4))
+        assert seq.shape == (2, 8)
+
+    @pytest.mark.parametrize("genkw", [
+        dict(cfg_scale=1.5, cfg_interval=4),
+        dict(temperature=0.7, top_k=3),
+        dict(top_p=0.5),
+        dict(sample_logits=False, cfg_scale=2.0),
+    ])
+    def test_generation_knobs(self, genkw):
+        cfg = ModelArgs(
+            dim=64, n_layer=1, n_head=4, vocab_size=32, num_classes=5,
+            max_seq_len=8, token_dropout_p=0.0, resid_dropout_p=0.0,
+            ffn_dropout_p=0.0,
+        )
+        model = LARP_AR(cfg)
+        cond = jnp.array([0, 1])
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 7), jnp.int32), cond
+        )
+        seq = generate(model, variables, cond, 8, jax.random.PRNGKey(1), **genkw)
+        assert seq.shape == (2, 8)
+        assert ((np.asarray(seq) >= 0) & (np.asarray(seq) < 32)).all()

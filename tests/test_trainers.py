@@ -254,3 +254,35 @@ class TestVisualization:
         # the vis path must not have swallowed an exception
         log = open(os.path.join(cfg["save_dir"], "log.txt")).read()
         assert "visualize_epoch failed" not in log
+
+
+class TestTrainerKnobs:
+    def test_threshold_gating_clip_grad_step_lr(self, tmp_path):
+        """d_update_loss_threshold gates the disc update inside jit;
+        clip_grad_max_norm and lr_type=step compose in the same program."""
+        cfg = _tok_cfg(tmp_path)
+        cfg["loss"]["args"]["d_update_loss_threshold"] = 1.0e9  # never passes
+        cfg["clip_grad_max_norm"] = 1.0
+        cfg["optimizer"]["lr_type"] = "step"
+        tr = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.epoch = 1
+        tr.make_model()
+        disc_before = np.asarray(
+            tr.state["loss_params"]["discriminator"]["fc"]["kernel"]
+        ).copy()
+        gen_before = np.asarray(
+            tr.state["params"]["x_embedder"]["proj"]["kernel"]
+        ).copy()
+        info = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
+        assert np.isfinite(info["loss"])
+        disc_after = np.asarray(
+            tr.state["loss_params"]["discriminator"]["fc"]["kernel"]
+        )
+        gen_after = np.asarray(
+            tr.state["params"]["x_embedder"]["proj"]["kernel"]
+        )
+        # d_loss can never exceed 1e9 -> disc frozen, generator trains
+        assert np.array_equal(disc_before, disc_after)
+        assert not np.array_equal(gen_before, gen_after)
