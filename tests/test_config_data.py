@@ -185,3 +185,60 @@ class TestRealVideoDecode:
             use_all_frames=True,
         )
         assert len(ds2) == 2
+
+
+class TestDatasetKnobs:
+    def _mp4(self, tmp_path, name, frames=24):
+        import cv2
+
+        p = str(tmp_path / name)
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(frames):
+            w.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+        w.release()
+        return p
+
+    def test_uniform_frame_rate_and_flip(self, tmp_path):
+        p = self._mp4(tmp_path, "v_A_g00.mp4")
+        (tmp_path / "v.csv").write_text(f"id,path,action,label\n0,{p},A,0")
+        ds = VideoDataset(
+            root_path=str(tmp_path), frame_num=8, cls_vid_num="-1_-1",
+            crop_size=32, csv_file="v.csv", split="train",
+            frame_rate="uniform", rand_flip="yes",
+        )
+        item = ds[0]
+        assert item["gt"].shape == (3, 8, 32, 32)
+
+    def test_multi_csv(self, tmp_path):
+        pa = self._mp4(tmp_path, "v_A_g00.mp4")
+        pb = self._mp4(tmp_path, "v_B_g01.mp4")
+        (tmp_path / "a.csv").write_text(f"id,path,action,label\n0,{pa},A,0")
+        (tmp_path / "b.csv").write_text(f"id,path,action,label\n0,{pb},B,0")
+        ds = VideoDataset(
+            root_path=str(tmp_path), frame_num=4, cls_vid_num="-1_-1+-1_-1",
+            crop_size=16, csv_file="a.csv+b.csv", split="train",
+        )
+        assert len(ds) == 2
+
+    def test_js_listing(self, tmp_path):
+        import json
+
+        p = self._mp4(tmp_path, "v_A_g00.mp4")
+        (tmp_path / "v.js").write_text(json.dumps({"A": [p]}))
+        ds = VideoDataset(
+            root_path=str(tmp_path), frame_num=4, cls_vid_num="-1_-1",
+            crop_size=16, csv_file="v.js", split="train",
+        )
+        assert len(ds) == 1
+        assert ds[0]["gt"].shape == (3, 4, 16, 16)
+
+    def test_short_clip_padded(self, tmp_path):
+        p = self._mp4(tmp_path, "v_A_g00.mp4", frames=3)
+        (tmp_path / "v.csv").write_text(f"id,path,action,label\n0,{p},A,0")
+        ds = VideoDataset(
+            root_path=str(tmp_path), frame_num=8, cls_vid_num="-1_-1",
+            crop_size=16, csv_file="v.csv", split="train",
+        )
+        # 3 decoded frames replicate-padded to 8 (reference :347-348)
+        assert ds[0]["gt"].shape == (3, 8, 16, 16)
