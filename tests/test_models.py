@@ -410,3 +410,63 @@ class TestARConfigMatrix:
         seq = generate(model, variables, cond, 8, jax.random.PRNGKey(1), **genkw)
         assert seq.shape == (2, 8)
         assert ((np.asarray(seq) >= 0) & (np.asarray(seq) < 32)).all()
+
+
+class TestRemat:
+    def test_ar_remat_matches_baseline(self):
+        """remat=True is numerically identical (same params) and halves
+        nothing visible — grads must match exactly."""
+        base = dict(
+            dim=64, n_layer=2, n_head=4, vocab_size=32, num_classes=5,
+            max_seq_len=8, token_dropout_p=0.0, resid_dropout_p=0.0,
+            ffn_dropout_p=0.0,
+        )
+        m0 = LARP_AR(ModelArgs(**base))
+        m1 = LARP_AR(ModelArgs(remat=True, **base))
+        idx = jnp.zeros((2, 7), jnp.int32)
+        cond = jnp.array([0, 1])
+        v = m0.init({"params": jax.random.PRNGKey(0)}, idx, cond)
+        tgt = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 32)
+
+        def loss(model):
+            def f(p):
+                _, l = model.apply({"params": p}, idx, cond, targets=tgt)
+                return l
+            return f
+
+        l0, g0 = jax.value_and_grad(loss(m0))(v["params"]), None
+        l1 = jax.value_and_grad(loss(m1))(v["params"])
+        assert np.allclose(float(l0[0]), float(l1[0]), atol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(l0[1]), jax.tree_util.tree_leaves(l1[1])
+        ):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # generation still works with the remat flag set
+        seq = generate(m1, v, cond, 8, jax.random.PRNGKey(2))
+        assert seq.shape == (2, 8)
+
+    def test_tokenizer_remat_matches_baseline(self):
+        m0 = tiny_tokenizer()
+        m1 = tiny_tokenizer(remat=True)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 32, 32))
+        v = m0.init(
+            {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)},
+            x, train=True,
+        )
+
+        def loss(model):
+            def f(p):
+                out = model.apply(
+                    {"params": p}, x, train=True,
+                    rngs={"vq": jax.random.PRNGKey(3)},
+                )
+                return jnp.mean(out["pred_frames"] ** 2) + out["loss_q"]
+            return f
+
+        l0 = jax.value_and_grad(loss(m0))(v["params"])
+        l1 = jax.value_and_grad(loss(m1))(v["params"])
+        assert np.allclose(float(l0[0]), float(l1[0]), atol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(l0[1]), jax.tree_util.tree_leaves(l1[1])
+        ):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)

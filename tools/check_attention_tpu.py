@@ -1,0 +1,107 @@
+"""TPU-side parity check for the Pallas flash-attention kernels.
+
+CI runs on CPU (where `attention` falls back to XLA), so the Pallas
+fwd/bwd numerics can only be verified on real hardware. Run this on a TPU
+host after touching ops/attention.py:
+
+    python tools/check_attention_tpu.py
+
+Checks, for causal x segment-ids x GQA-shape combinations:
+  * forward vs xla_attention (bf16 tolerance)
+  * gradients dq/dk/dv vs XLA gradients
+  * attention_with_lse causal_offset consistency (ring-attention building
+    block): offset-full + offset-diag merge == single-call full attention.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_tokenizer_tpu.ops.attention import (
+    attention,
+    attention_with_lse,
+    xla_attention,
+)
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-6))
+
+
+def check(name, got, want, tol):
+    r = _rel(got, want)
+    status = "OK " if r <= tol else "FAIL"
+    print(f"[{status}] {name}: rel={r:.2e} (tol {tol})")
+    return r <= tol
+
+
+def main():
+    ok = True
+    key = jax.random.PRNGKey(0)
+    for causal in (False, True):
+        for with_segs in (False, True):
+            B, S, H, D = 2, 640, 4, 64
+            kq, kk, kv = jax.random.split(key, 3)
+            q = jax.random.normal(kq, (B, S, H, D), jnp.bfloat16)
+            k = jax.random.normal(kk, (B, S, H, D), jnp.bfloat16)
+            v = jax.random.normal(kv, (B, S, H, D), jnp.bfloat16)
+            segs = None
+            if with_segs:
+                segs = jnp.where(
+                    jnp.arange(S)[None, :] < S // 2, 0, 1
+                ).astype(jnp.int32).repeat(B, 0).reshape(B, S)
+
+            f_pl = lambda q, k, v: attention(
+                q, k, v, causal=causal, segment_ids=segs,
+                block_q=256, block_k=256, use_pallas=True,
+            ).astype(jnp.float32).sum()
+            f_xla = lambda q, k, v: xla_attention(
+                q, k, v, causal=causal, segment_ids=segs
+            ).astype(jnp.float32).sum()
+
+            tag = f"causal={causal} segs={with_segs}"
+            out_pl = attention(q, k, v, causal=causal, segment_ids=segs,
+                               block_q=256, block_k=256, use_pallas=True)
+            out_x = xla_attention(q, k, v, causal=causal, segment_ids=segs)
+            ok &= check(f"fwd {tag}", out_pl, out_x, 2e-2)
+
+            g_pl = jax.jit(jax.grad(f_pl, argnums=(0, 1, 2)))(q, k, v)
+            g_x = jax.jit(jax.grad(f_xla, argnums=(0, 1, 2)))(q, k, v)
+            for nm, a, b in zip("dq dk dv".split(), g_pl, g_x):
+                ok &= check(f"{nm}  {tag}", a, b, 5e-2)
+
+    # causal_offset / LSE merge (the ring-attention contract)
+    B, S, H, D = 2, 512, 4, 64
+    q = jax.random.normal(jax.random.PRNGKey(7), (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(8), (B, 2 * S, H, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(9), (B, 2 * S, H, D), jnp.bfloat16)
+    # full causal attention where q is the SECOND half of a 2S sequence
+    full = xla_attention(
+        jnp.concatenate([jnp.zeros_like(q), q], 1), k, v, causal=True
+    )[:, S:]
+    o1, l1 = attention_with_lse(q, k[:, :S], v[:, :S], causal=False,
+                                use_pallas=True)
+    o2, l2 = attention_with_lse(q, k[:, S:], v[:, S:], causal=True,
+                                causal_offset=0, use_pallas=True)
+    m = jnp.maximum(l1, l2)
+    w1, w2 = jnp.exp(l1 - m), jnp.exp(l2 - m)
+    merged = (
+        o1.astype(jnp.float32) * jnp.swapaxes(w1, 1, 2)[..., None]
+        + o2.astype(jnp.float32) * jnp.swapaxes(w2, 1, 2)[..., None]
+    ) / jnp.swapaxes(w1 + w2, 1, 2)[..., None]
+    ok &= check("lse-merge ring contract", merged, full, 2e-2)
+
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,10 @@ class ModelArgs:
     max_seq_len: int = 1024
     use_fixed_pe: bool = False
     frame_prediction: bool = False
+    # gradient checkpointing: recompute each block in the backward pass
+    # (jax.checkpoint via nn.remat) — trades ~30% step FLOPs for O(n_layer)x
+    # less activation memory; for XXL/XXXL training and long sequences.
+    remat: bool = False
 
 
 def _normal_init(std):
@@ -204,6 +208,11 @@ class Attention(nn.Module):
         return self.wo(out), k_all, v_all
 
 
+def _apply_block(layer, x, train):
+    """Module-first wrapper so nn.remat can lift a single block call."""
+    return layer(x, train=train)
+
+
 class TransformerBlock(nn.Module):
     config: ModelArgs
     drop_path_rate: float = 0.0
@@ -327,8 +336,15 @@ class LARP_AR(nn.Module):
         h = self.tok_dropout(h, deterministic=not train)
         h = h + self.abs_pe[:, : h.shape[1]].astype(h.dtype)
 
-        for layer in self.layers:
-            h = layer(h, train=train)
+        if self.config.remat:
+            # remat only the teacher-forcing path — prefill/decode keep tiny
+            # activations and would just pay the recompute
+            block = nn.remat(_apply_block, static_argnums=(2,))
+            for layer in self.layers:
+                h = block(layer, h, train)
+        else:
+            for layer in self.layers:
+                h = layer(h, train=train)
         h = self.norm(h)
         logits = self.output(h)
         logits = logits[:, self.cls_token_num - 1 :]
