@@ -163,3 +163,13 @@ class DinoDisc(nn.Module):
             for h, a in zip(self.heads, acts)
         ]
         return jnp.concatenate(outs, axis=1)
+
+
+def load_dino_weights(variables, npz_path: str):
+    """Replace the 'dino' subtree with converted DINO-S weights
+    (tools/convert_dino.py). The heads stay as initialized (they train)."""
+    data = np.load(npz_path, allow_pickle=True)
+    dino = jax.tree_util.tree_map(jnp.asarray, data["params"].item())
+    params = dict(variables["params"])
+    params["dino"] = dino
+    return {**variables, "params": params}
