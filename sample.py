@@ -324,9 +324,21 @@ def main():
     ap.add_argument("--fp_resolution", type=int, default=64)
     ap.add_argument("--save_videos", action="store_true")
     ap.add_argument("--i3d_weights", default=None)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="AR-prior inference dtype. bf16 halves the weight + "
+                         "KV-cache HBM traffic of the decode loop (the "
+                         "sampling bottleneck on TPU); logits/softmax/NLL "
+                         "math stays fp32 either way.")
     args = ap.parse_args()
 
     ar_model, ar_params = load_model_from_checkpoint(args.ar_model, args.ar_version)
+    if args.dtype == "bfloat16":
+        ar_params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            ar_params,
+        )
     tokenizer, tok_params = load_model_from_checkpoint(
         args.tokenizer, args.tokenizer_version
     )

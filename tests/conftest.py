@@ -7,6 +7,16 @@ the single-chip TPU tunnel, so env vars alone don't work).
 """
 import os
 
+# 8 virtual devices share ONE physical core on this machine, so a collective
+# participant can be starved far past XLA:CPU's stuck-collective watchdog,
+# which LOG(FATAL)s the whole process (intermittent aborts mid-suite on the
+# giant GAN train_step). Raise the watchdog before backend init.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

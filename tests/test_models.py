@@ -236,6 +236,27 @@ class TestAR:
         )
         assert np.isfinite(float(loss_all)) and np.isfinite(float(loss_one))
 
+    def test_bf16_cache_matches_fp32_cache(self, ar):
+        """bf16 params emit bf16 k/v, so the default bf16 KV cache (the HBM
+        halving used by sample.py --dtype bfloat16) is lossless vs an fp32
+        cache: greedy decode must be bit-identical under either cache_dtype."""
+        model, variables = ar
+        bf16 = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            variables,
+        )
+        cond = jnp.array([2, 3])
+        auto = generate(model, bf16, cond, 8, jax.random.PRNGKey(0),
+                        sample_logits=False)
+        forced = generate(model, bf16, cond, 8, jax.random.PRNGKey(0),
+                          sample_logits=False, cache_dtype=jnp.float32)
+        assert np.array_equal(np.asarray(auto), np.asarray(forced))
+        # fp32 params keep the fp32 cache default and still decode == TF
+        full = generate(model, variables, cond, 8, jax.random.PRNGKey(0),
+                        sample_logits=False)
+        assert full.shape == (2, 8)
+
 
 class TestTopKTopP:
     def test_top_k(self):

@@ -81,7 +81,7 @@ def _combine_cfg(logits, cfg_scale, cfg_flag):
     jax.jit,
     static_argnames=(
         "model", "max_new_tokens", "cfg_scale", "cfg_interval",
-        "temperature", "top_k", "top_p", "sample_logits",
+        "temperature", "top_k", "top_p", "sample_logits", "cache_dtype",
     ),
 )
 def generate(
@@ -97,6 +97,7 @@ def generate(
     top_p: float = 1.0,
     sample_logits: bool = True,
     emb_masks: Optional[jax.Array] = None,
+    cache_dtype=None,
 ) -> jax.Array:
     """Sample `max_new_tokens` codes. cond: [B] classes or [B, T] frame tokens.
 
@@ -121,8 +122,16 @@ def generate(
 
     T_new = T + max_new_tokens
     cache_bs = B * 2 if use_cfg else B
+    # Cache dtype follows the parameter dtype unless overridden: decode is
+    # HBM-bandwidth-bound (every step re-reads the whole cache), so a bf16
+    # model gets a bf16 cache — half the cache traffic per token. Softmax math
+    # stays fp32 in Attention.decode_step either way.
+    if cache_dtype is None:
+        cache_dtype = variables["params"]["tok_embeddings"]["embedding"].dtype
+        if cache_dtype not in (jnp.bfloat16, jnp.float16):
+            cache_dtype = jnp.float32
     cache = model.apply(
-        variables, cache_bs, T_new, method=model.init_cache
+        variables, cache_bs, T_new, cache_dtype, method=model.init_cache
     )
 
     # ---- prefill (emb_masks: invalid prompt positions masked as keys,
