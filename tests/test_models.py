@@ -160,7 +160,14 @@ class TestAR:
         cond = jnp.array([0, 1])
         idx = jnp.zeros((2, 11), jnp.int32)
         variables = model.init({"params": jax.random.PRNGKey(0)}, idx, cond)
-        return model, variables
+        # the output head is zero-init (reference larp_ar.py:285-286), which
+        # would make every logit 0 and greedy-decode tests vacuously pass
+        # (argmax always 0) — randomize it so decode-parity tests have teeth
+        params = dict(variables["params"])
+        params["output"] = {
+            "kernel": jax.random.normal(jax.random.PRNGKey(9), (64, 32)) * 0.5
+        }
+        return model, {"params": params}
 
     def test_train_forward_loss(self, ar):
         model, variables = ar

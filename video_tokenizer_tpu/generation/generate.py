@@ -142,7 +142,7 @@ def generate(
         cond_mask = (
             jnp.concatenate([emb_masks, emb_masks]) if use_cfg else emb_masks
         ).astype(bool)
-        S_cache = cache["k"].shape[2]
+        S_cache = cache[0]["k"].shape[1]
         key_valid = jnp.pad(
             cond_mask, ((0, 0), (0, S_cache - cond_mask.shape[1])),
             constant_values=True,
@@ -163,7 +163,11 @@ def generate(
     def step(carry, i):
         cache, cur_token, key = carry
         key, sub = jax.random.split(key)
-        pos = T + i
+        # cur_token is the i-th generated token (1-based: i=1 is the prefill
+        # sample), so it lives at absolute position T + i - 1 — both its KV
+        # slot and its positional embedding (reference ar/generate.py:115-118:
+        # input_pos starts at T for the first decoded token).
+        pos = T + i - 1
         tok = jnp.concatenate([cur_token, cur_token]) if use_cfg else cur_token
         logits, cache = model.apply(
             variables, tok, pos, cache, key_valid, method=model.decode_step

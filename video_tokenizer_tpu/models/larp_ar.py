@@ -7,10 +7,11 @@ Re-expresses `/root/reference/models/larp_ar.py` TPU-first:
     FFN (2/3*4d rounded to multiple_of) blocks with DropPath
     (larp_ar.py:127-230); zero-init output head (larp_ar.py:285-286).
   * The torch `KVCache` buffer mutated via `input_pos` indexing
-    (larp_ar.py:146-161) becomes an explicit functional cache pytree
-    {'k','v': [n_layer, B, S, n_kv_head, head_dim]} updated with
-    `lax.dynamic_update_slice` — donated through the compiled decode loop in
-    `generation.generate`, so updates are in-place in XLA.
+    (larp_ar.py:146-161) becomes an explicit functional cache pytree — a
+    tuple of per-layer {'k','v': [B, S, n_kv_head, head_dim]} — updated with
+    `lax.dynamic_update_slice`, carried through the compiled decode loop in
+    `generation.generate`, so updates are in-place in XLA. (Per-layer buffers
+    rather than one stacked [L, ...] array: see Attention.prefill.)
   * Three forward modes (larp_ar.py:334-395): teacher-forcing training
     (`__call__`, Pallas causal flash attention), `prefill`, and single-token
     `decode_step` (cache-read attention; bandwidth-bound matvec).
@@ -148,18 +149,22 @@ class Attention(nn.Module):
         out = self.wo(out)
         return self.resid_dropout(out, deterministic=not train)
 
-    def prefill(self, x, k_all, v_all, layer_idx: int, cond_mask=None):
-        """Process S prompt tokens; writes layer `layer_idx` of the stacked
-        cache IN PLACE (k_all/v_all: [L, B, S, Hkv, D], donated upstream).
+    def prefill(self, x, k_cache, v_cache, cond_mask=None):
+        """Process S prompt tokens; writes this layer's cache IN PLACE
+        (k_cache/v_cache: [B, S, Hkv, D], donated upstream). Per-layer arrays
+        rather than one stacked [L, ...] buffer: XLA fuses the k+v updates of
+        a layer into one kernel, and a fused kernel addressing >2 GiB of a
+        stacked cache faults on TPU (int32 byte offsets) — per-layer buffers
+        keep every kernel's address range small.
         cond_mask: optional [B, S] bool — invalid prompt positions are masked
         as attention KEYS (the reference's emb_masks, ar/generate.py:151-160)."""
         B, S, _ = x.shape
         q, k, v = self._split_qkv(x)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k.astype(k_all.dtype)[None], (layer_idx, 0, 0, 0, 0)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
         )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v.astype(v_all.dtype)[None], (layer_idx, 0, 0, 0, 0)
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
         )
         if self.n_kv_head != self.n_head:
             rep = self.n_head // self.n_kv_head
@@ -173,24 +178,23 @@ class Attention(nn.Module):
             ).reshape(B, S, -1)
         else:
             out = attention(q, k, v, causal=True).reshape(B, S, -1)
-        return self.wo(out), k_all, v_all
+        return self.wo(out), k_cache, v_cache
 
-    def decode_step(self, x, input_pos, k_all, v_all, layer_idx: int,
-                    key_valid=None):
-        """One-token decode; updates one (layer, pos) slot of the stacked
-        cache in place — no full-cache copies in the sampling loop.
+    def decode_step(self, x, input_pos, k_cache, v_cache, key_valid=None):
+        """One-token decode; updates one position of this layer's cache in
+        place — no full-cache copies in the sampling loop.
         key_valid: optional [B, S_cache] bool masking invalid cache slots."""
         B = x.shape[0]
         q, k, v = self._split_qkv(x)  # [B,1,H,D], [B,1,Hkv,D]
         pos = input_pos.astype(jnp.int32)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k.astype(k_all.dtype)[None], (layer_idx, 0, pos, 0, 0)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0)
         )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v.astype(v_all.dtype)[None], (layer_idx, 0, pos, 0, 0)
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0)
         )
-        k_layer = k_all[layer_idx]
-        v_layer = v_all[layer_idx]
+        k_layer = k_cache
+        v_layer = v_cache
         S = k_layer.shape[1]
         rep = self.n_head // self.n_kv_head
         qg = q.reshape(B, self.n_kv_head, rep, self.head_dim)
@@ -205,7 +209,7 @@ class Attention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhgs,bshd->bhgd", probs, v_layer.astype(jnp.float32))
         out = out.reshape(B, 1, self.n_head * self.head_dim).astype(x.dtype)
-        return self.wo(out), k_all, v_all
+        return self.wo(out), k_cache, v_cache
 
 
 def _apply_block(layer, x, train):
@@ -233,20 +237,19 @@ class TransformerBlock(nn.Module):
             self.feed_forward(self.ffn_norm(h), train=train), train
         )
 
-    def prefill(self, x, k_all, v_all, layer_idx: int, cond_mask=None):
-        a, k_all, v_all = self.attention.prefill(
-            self.attention_norm(x), k_all, v_all, layer_idx, cond_mask
+    def prefill(self, x, k_cache, v_cache, cond_mask=None):
+        a, k_cache, v_cache = self.attention.prefill(
+            self.attention_norm(x), k_cache, v_cache, cond_mask
         )
         h = x + a
-        return h + self.feed_forward(self.ffn_norm(h)), k_all, v_all
+        return h + self.feed_forward(self.ffn_norm(h)), k_cache, v_cache
 
-    def decode_step(self, x, input_pos, k_all, v_all, layer_idx: int,
-                    key_valid=None):
-        a, k_all, v_all = self.attention.decode_step(
-            self.attention_norm(x), input_pos, k_all, v_all, layer_idx, key_valid
+    def decode_step(self, x, input_pos, k_cache, v_cache, key_valid=None):
+        a, k_cache, v_cache = self.attention.decode_step(
+            self.attention_norm(x), input_pos, k_cache, v_cache, key_valid
         )
         h = x + a
-        return h + self.feed_forward(self.ffn_norm(h)), k_all, v_all
+        return h + self.feed_forward(self.ffn_norm(h)), k_cache, v_cache
 
 
 class LARP_AR(nn.Module):
@@ -366,31 +369,35 @@ class LARP_AR(nn.Module):
     # ------------------------------------------------------------ sampling
 
     def init_cache(self, batch_size: int, max_seq_length: int, dtype=jnp.float32):
+        """Per-layer KV cache: a tuple of {'k','v': [B, S, Hkv, D]} — one pair
+        of buffers per layer (not one stacked [L, ...] array, whose fused k+v
+        update kernels fault on TPU past 2 GiB; see Attention.prefill)."""
         cfg = self.config
         S = find_multiple(max_seq_length, 8)
         n_kv = cfg.n_kv_head or cfg.n_head
         head_dim = cfg.dim // cfg.n_head
-        shape = (cfg.n_layer, batch_size, S, n_kv, head_dim)
-        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        shape = (batch_size, S, n_kv, head_dim)
+        return tuple(
+            {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.n_layer)
+        )
 
-    def prefill(self, cond_idx: jax.Array, cache: Dict[str, jax.Array],
-                cond_mask=None):
+    def prefill(self, cond_idx: jax.Array, cache, cond_mask=None):
         """Run the conditioning prefix; fill cache; return last-pos logits.
         cond_mask: optional [B, T] bool (the reference's emb_masks)."""
         h = self._cond_embeddings(cond_idx, train=False)
         T = h.shape[1]
         h = h + self.abs_pe[:, :T].astype(h.dtype)
-        k_all, v_all = cache["k"], cache["v"]
-        for i, layer in enumerate(self.layers):
-            h, k_all, v_all = layer.prefill(h, k_all, v_all, i, cond_mask)
+        new_cache = []
+        for layer, lc in zip(self.layers, cache):
+            h, kc, vc = layer.prefill(h, lc["k"], lc["v"], cond_mask)
+            new_cache.append({"k": kc, "v": vc})
         h = self.norm(h)
         logits = self.output(h[:, -1:])
-        return logits, {"k": k_all, "v": v_all}
+        return logits, tuple(new_cache)
 
-    def decode_step(
-        self, idx: jax.Array, input_pos: jax.Array,
-        cache: Dict[str, jax.Array], key_valid=None,
-    ):
+    def decode_step(self, idx: jax.Array, input_pos: jax.Array,
+                    cache, key_valid=None):
         """idx: [B, 1] current token; input_pos: scalar absolute position."""
         h = self.tok_embeddings(idx)
         pe = jax.lax.dynamic_slice(
@@ -398,14 +405,13 @@ class LARP_AR(nn.Module):
             (1, 1, self.config.dim),
         )
         h = h + pe.astype(h.dtype)
-        k_all, v_all = cache["k"], cache["v"]
-        for i, layer in enumerate(self.layers):
-            h, k_all, v_all = layer.decode_step(
-                h, input_pos, k_all, v_all, i, key_valid
-            )
+        new_cache = []
+        for layer, lc in zip(self.layers, cache):
+            h, kc, vc = layer.decode_step(h, input_pos, lc["k"], lc["v"], key_valid)
+            new_cache.append({"k": kc, "v": vc})
         h = self.norm(h)
         logits = self.output(h)
-        return logits, {"k": k_all, "v": v_all}
+        return logits, tuple(new_cache)
 
 
 # ---------------------------------------------------------------- size zoo

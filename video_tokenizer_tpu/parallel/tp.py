@@ -48,5 +48,6 @@ def shard_params_tp(params: Any, mesh: Mesh) -> Any:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache [L, B, S, Hkv, D]: batch over 'data', kv heads over 'model'."""
-    return NamedSharding(mesh, P(None, "data", None, "model", None))
+    """Per-layer KV cache [B, S, Hkv, D]: batch over 'data', kv heads over
+    'model' (apply to every leaf of the per-layer cache tuple)."""
+    return NamedSharding(mesh, P("data", None, "model", None))
