@@ -69,8 +69,9 @@ def bench_tokenizer(batch_size: int = 8, iters: int = 20, dtype=jnp.bfloat16):
     return batch_size * iters / dt
 
 
-def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 256):
-    """KV-cache decode throughput on the 632M llama-abs-LP geometry."""
+def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024):
+    """KV-cache decode throughput on the 632M llama-abs-LP geometry, at the
+    flagship workload (1024 codes/video, scripts/train_larp_ar_reproduce.sh)."""
     from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
     from video_tokenizer_tpu.generation import generate
 

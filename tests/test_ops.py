@@ -6,6 +6,7 @@ import pytest
 
 from video_tokenizer_tpu.ops import sincos
 from video_tokenizer_tpu.ops.attention import attention, xla_attention
+from video_tokenizer_tpu.ops.decode_attention import decode_attention
 from video_tokenizer_tpu.ops.vq import vq_lookup
 from video_tokenizer_tpu.models.fsq import FSQ
 
@@ -64,6 +65,41 @@ class TestAttention:
         q = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 2, 8))
         out = attention(q, q, q)  # auto-selects XLA on CPU
         assert np.allclose(out, xla_attention(q, q, q))
+
+
+class TestDecodeAttention:
+    """decode_attention == the last row of full causal attention over the
+    live prefix (the KV-cache decode contract). TPU-side Pallas parity is
+    covered by tools/check_attention_tpu.py; CPU exercises the XLA path."""
+
+    @pytest.mark.parametrize("Hkv,rep", [(2, 1), (2, 3)])
+    def test_matches_full_attention_prefix(self, Hkv, rep):
+        B, S, D = 2, 16, 8
+        H = Hkv * rep
+        kf = jax.random.normal(jax.random.PRNGKey(1), (B, S, Hkv, D))
+        vf = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, D))
+        for pos in [0, 5, S - 1]:
+            q1 = jax.random.normal(jax.random.PRNGKey(3 + pos), (B, H, D))
+            got = decode_attention(q1, kf, vf, jnp.int32(pos))
+            # reference: full attention over prefix [0..pos], take last query
+            kr = jnp.repeat(kf[:, : pos + 1], rep, axis=2)
+            vr = jnp.repeat(vf[:, : pos + 1], rep, axis=2)
+            ref = xla_attention(q1[:, None], kr, vr, causal=True)[:, 0]
+            assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_key_valid_drops_slots(self):
+        B, S, H, D = 1, 8, 2, 4
+        k = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+        v = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+        q = jax.random.normal(jax.random.PRNGKey(2), (B, H, D))
+        kv = jnp.asarray([[True, False, True, True, True, True, True, True]])
+        got = decode_attention(q, k, v, jnp.int32(3), key_valid=kv)
+        # reference: drop slot 1 from the prefix entirely
+        keep = jnp.asarray([0, 2, 3])
+        ref = xla_attention(
+            q[:, None], k[:, keep], v[:, keep], causal=False
+        )[:, 0]
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
 class TestVQLookup:

@@ -11,6 +11,8 @@ Checks, for causal x segment-ids x GQA-shape combinations:
   * gradients dq/dk/dv vs XLA gradients
   * attention_with_lse causal_offset consistency (ring-attention building
     block): offset-full + offset-diag merge == single-call full attention.
+  * decode_attention (single-token KV-cache kernel, ops/decode_attention.py)
+    vs its XLA fallback across cache sizes, positions, and key_valid masks.
 """
 from __future__ import annotations
 
@@ -27,6 +29,10 @@ from video_tokenizer_tpu.ops.attention import (
     attention,
     attention_with_lse,
     xla_attention,
+)
+from video_tokenizer_tpu.ops.decode_attention import (
+    decode_attention,
+    xla_decode_attention,
 )
 
 
@@ -98,6 +104,30 @@ def main():
         + o2.astype(jnp.float32) * jnp.swapaxes(w2, 1, 2)[..., None]
     ) / jnp.swapaxes(w1 + w2, 1, 2)[..., None]
     ok &= check("lse-merge ring contract", merged, full, 2e-2)
+
+    # decode kernel (single-token KV-cache attention) vs its XLA fallback,
+    # across MHA/GQA, cache sizes, positions, and key_valid masking
+    rng = np.random.RandomState(0)
+    for (B, S, Hkv, rep, D) in [
+        (2, 128, 4, 1, 64), (3, 384, 4, 5, 64),
+        (16, 1152, 20, 1, 64), (2, 256, 2, 2, 128),
+    ]:
+        H = Hkv * rep
+        q = jnp.asarray(rng.randn(B, H, D), jnp.bfloat16)
+        kc = jnp.asarray(rng.randn(B, S, Hkv, D), jnp.bfloat16)
+        vc = jnp.asarray(rng.randn(B, S, Hkv, D), jnp.bfloat16)
+        for pos in (0, 127, S // 2, S - 1):
+            for with_valid in (False, True):
+                kv_mask = None
+                if with_valid:
+                    kv_mask = jnp.asarray(rng.rand(B, S) > 0.3)
+                    kv_mask = kv_mask.at[:, pos].set(True)
+                got = decode_attention(q, kc, vc, jnp.int32(pos),
+                                       key_valid=kv_mask, use_pallas=True)
+                want = xla_decode_attention(q, kc, vc, jnp.int32(pos),
+                                            key_valid=kv_mask)
+                tag = f"B{B} S{S} Hkv{Hkv} rep{rep} pos{pos} valid={with_valid}"
+                ok &= check(f"decode {tag}", got, want, 2e-2)
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)

@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from ..ops import sincos
 from ..ops.attention import attention
+from ..ops.decode_attention import decode_attention
 from ..registry import models
 from .embed import LabelEmbedder
 
@@ -193,21 +194,10 @@ class Attention(nn.Module):
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0)
         )
-        k_layer = k_cache
-        v_layer = v_cache
-        S = k_layer.shape[1]
-        rep = self.n_head // self.n_kv_head
-        qg = q.reshape(B, self.n_kv_head, rep, self.head_dim)
-        scores = jnp.einsum(
-            "bhgd,bshd->bhgs", qg.astype(jnp.float32),
-            k_layer.astype(jnp.float32),
-        ) * (self.head_dim ** -0.5)
-        valid = jnp.arange(S)[None, None, None, :] <= pos
-        if key_valid is not None:
-            valid = jnp.logical_and(valid, key_valid[:, None, None, :])
-        scores = jnp.where(valid, scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhgs,bshd->bhgd", probs, v_layer.astype(jnp.float32))
+        out = decode_attention(
+            q.reshape(B, self.n_head, self.head_dim), k_cache, v_cache, pos,
+            key_valid=key_valid,
+        )
         out = out.reshape(B, 1, self.n_head * self.head_dim).astype(x.dtype)
         return self.wo(out), k_cache, v_cache
 
@@ -373,7 +363,10 @@ class LARP_AR(nn.Module):
         of buffers per layer (not one stacked [L, ...] array, whose fused k+v
         update kernels fault on TPU past 2 GiB; see Attention.prefill)."""
         cfg = self.config
-        S = find_multiple(max_seq_length, 8)
+        # 128 = the Pallas decode kernel's block_s (ops.decode_attention);
+        # the reference rounds to 8 (larp_ar.py:318) — extra slots are
+        # position-masked either way
+        S = find_multiple(max_seq_length, 128)
         n_kv = cfg.n_kv_head or cfg.n_head
         head_dim = cfg.dim // cfg.n_head
         shape = (batch_size, S, n_kv, head_dim)
