@@ -80,7 +80,9 @@ class TestDecodeAttention:
         vf = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, D))
         for pos in [0, 5, S - 1]:
             q1 = jax.random.normal(jax.random.PRNGKey(3 + pos), (B, H, D))
-            got = decode_attention(q1, kf, vf, jnp.int32(pos))
+            got = decode_attention(
+                q1, kf.reshape(B, S, -1), vf.reshape(B, S, -1), jnp.int32(pos)
+            )
             # reference: full attention over prefix [0..pos], take last query
             kr = jnp.repeat(kf[:, : pos + 1], rep, axis=2)
             vr = jnp.repeat(vf[:, : pos + 1], rep, axis=2)
@@ -93,7 +95,10 @@ class TestDecodeAttention:
         v = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
         q = jax.random.normal(jax.random.PRNGKey(2), (B, H, D))
         kv = jnp.asarray([[True, False, True, True, True, True, True, True]])
-        got = decode_attention(q, k, v, jnp.int32(3), key_valid=kv)
+        got = decode_attention(
+            q, k.reshape(B, S, -1), v.reshape(B, S, -1), jnp.int32(3),
+            key_valid=kv,
+        )
         # reference: drop slot 1 from the prefix entirely
         keep = jnp.asarray([0, 2, 3])
         ref = xla_attention(

@@ -114,8 +114,8 @@ def main():
     ]:
         H = Hkv * rep
         q = jnp.asarray(rng.randn(B, H, D), jnp.bfloat16)
-        kc = jnp.asarray(rng.randn(B, S, Hkv, D), jnp.bfloat16)
-        vc = jnp.asarray(rng.randn(B, S, Hkv, D), jnp.bfloat16)
+        kc = jnp.asarray(rng.randn(B, S, Hkv * D), jnp.bfloat16)
+        vc = jnp.asarray(rng.randn(B, S, Hkv * D), jnp.bfloat16)
         for pos in (0, 127, S // 2, S - 1):
             for with_valid in (False, True):
                 kv_mask = None

@@ -8,7 +8,7 @@ Re-expresses `/root/reference/models/larp_ar.py` TPU-first:
     (larp_ar.py:127-230); zero-init output head (larp_ar.py:285-286).
   * The torch `KVCache` buffer mutated via `input_pos` indexing
     (larp_ar.py:146-161) becomes an explicit functional cache pytree — a
-    tuple of per-layer {'k','v': [B, S, n_kv_head, head_dim]} — updated with
+    tuple of per-layer {'k','v': [B, S, n_kv_head * head_dim]} — updated with
     `lax.dynamic_update_slice`, carried through the compiled decode loop in
     `generation.generate`, so updates are in-place in XLA. (Per-layer buffers
     rather than one stacked [L, ...] array: see Attention.prefill.)
@@ -162,10 +162,10 @@ class Attention(nn.Module):
         B, S, _ = x.shape
         q, k, v = self._split_qkv(x)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
+            k_cache, k.reshape(B, S, -1).astype(k_cache.dtype), (0, 0, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
+            v_cache, v.reshape(B, S, -1).astype(v_cache.dtype), (0, 0, 0)
         )
         if self.n_kv_head != self.n_head:
             rep = self.n_head // self.n_kv_head
@@ -188,11 +188,14 @@ class Attention(nn.Module):
         B = x.shape[0]
         q, k, v = self._split_qkv(x)  # [B,1,H,D], [B,1,Hkv,D]
         pos = input_pos.astype(jnp.int32)
+        # one sublane-row write of the [B, S, KV] cache — cheap; a lane-dim
+        # update would RMW every tile in that lane's column (see
+        # ops/decode_attention.py design notes)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0)
+            k_cache, k.reshape(B, 1, -1).astype(k_cache.dtype), (0, pos, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0)
+            v_cache, v.reshape(B, 1, -1).astype(v_cache.dtype), (0, pos, 0)
         )
         out = decode_attention(
             q.reshape(B, self.n_head, self.head_dim), k_cache, v_cache, pos,
@@ -359,17 +362,20 @@ class LARP_AR(nn.Module):
     # ------------------------------------------------------------ sampling
 
     def init_cache(self, batch_size: int, max_seq_length: int, dtype=jnp.float32):
-        """Per-layer KV cache: a tuple of {'k','v': [B, S, Hkv, D]} — one pair
-        of buffers per layer (not one stacked [L, ...] array, whose fused k+v
-        update kernels fault on TPU past 2 GiB; see Attention.prefill)."""
+        """Per-layer KV cache: a tuple of {'k','v': [B, S, Hkv * head_dim]} —
+        one pair of buffers per layer (not one stacked [L, ...] array, whose
+        fused k+v update kernels fault on TPU past 2 GiB; see
+        Attention.prefill). Heads fused into one lane-dense dim and S kept
+        untiled so per-token updates stay cheap and the decode kernel's DMA
+        slices are tile-aligned (ops/decode_attention.py design notes)."""
         cfg = self.config
-        # 128 = the Pallas decode kernel's block_s (ops.decode_attention);
-        # the reference rounds to 8 (larp_ar.py:318) — extra slots are
-        # position-masked either way
+        # 128 keeps S divisible by every Pallas decode block size
+        # (ops.decode_attention); the reference rounds to 8 (larp_ar.py:318) —
+        # extra slots are position-masked either way
         S = find_multiple(max_seq_length, 128)
         n_kv = cfg.n_kv_head or cfg.n_head
         head_dim = cfg.dim // cfg.n_head
-        shape = (batch_size, S, n_kv, head_dim)
+        shape = (batch_size, S, n_kv * head_dim)
         return tuple(
             {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(cfg.n_layer)

@@ -48,6 +48,7 @@ def shard_params_tp(params: Any, mesh: Mesh) -> Any:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """Per-layer KV cache [B, S, Hkv, D]: batch over 'data', kv heads over
-    'model' (apply to every leaf of the per-layer cache tuple)."""
-    return NamedSharding(mesh, P("data", None, "model", None))
+    """Per-layer KV cache [B, S, Hkv * head_dim]: batch over 'data', the
+    fused head dim over 'model' (apply to every leaf of the per-layer cache
+    tuple)."""
+    return NamedSharding(mesh, P("data", None, "model"))
