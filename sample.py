@@ -342,6 +342,14 @@ def main():
     tokenizer, tok_params = load_model_from_checkpoint(
         args.tokenizer, args.tokenizer_version
     )
+    if args.frame_prediction != bool(ar_model.frame_prediction):
+        raise SystemExit(
+            f"--frame_prediction={args.frame_prediction} but the AR "
+            f"checkpoint was trained with frame_prediction="
+            f"{bool(ar_model.frame_prediction)} — a class-conditional model "
+            "cannot consume frame tokens (and vice versa); use the matching "
+            "sampling mode or checkpoint."
+        )
     if args.frame_prediction:
         _, _, out_dir = predict_frames(args, ar_model, ar_params, tokenizer, tok_params)
     else:
