@@ -325,20 +325,29 @@ def main():
     ap.add_argument("--save_videos", action="store_true")
     ap.add_argument("--i3d_weights", default=None)
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=["bfloat16", "float32"],
+                    choices=["bfloat16", "float32", "int8"],
                     help="AR-prior inference dtype. bf16 halves the weight + "
                          "KV-cache HBM traffic of the decode loop (the "
-                         "sampling bottleneck on TPU); logits/softmax/NLL "
-                         "math stays fp32 either way.")
+                         "sampling bottleneck on TPU); int8 additionally "
+                         "quantizes every projection weight (symmetric "
+                         "per-channel; bf16 activations/cache, fused dequant "
+                         "in the matmul) for ~1.3x more tokens/s at a small "
+                         "accuracy cost; logits/softmax/NLL math stays fp32 "
+                         "either way.")
     args = ap.parse_args()
 
     ar_model, ar_params = load_model_from_checkpoint(args.ar_model, args.ar_version)
-    if args.dtype == "bfloat16":
+    if args.dtype in ("bfloat16", "int8"):
         ar_params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16)
             if jnp.issubdtype(p.dtype, jnp.floating) else p,
             ar_params,
         )
+    if args.dtype == "int8":
+        import dataclasses as _dc
+        from video_tokenizer_tpu.models.larp_ar import LARP_AR, quantize_params
+        ar_model = LARP_AR(_dc.replace(ar_model.config, quantized=True))
+        ar_params = quantize_params(ar_params)
     tokenizer, tok_params = load_model_from_checkpoint(
         args.tokenizer, args.tokenizer_version
     )

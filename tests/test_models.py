@@ -243,6 +243,32 @@ class TestAR:
         )
         assert np.isfinite(float(loss_all)) and np.isfinite(float(loss_one))
 
+    def test_int8_quantized_serving(self, ar):
+        """quantized=True + quantize_params: teacher-forced logits stay close
+        to the float model's and compiled generation runs (the sample.py
+        --dtype int8 path)."""
+        import dataclasses
+        from video_tokenizer_tpu.models.larp_ar import quantize_params
+
+        model, variables = ar
+        qmodel = LARP_AR(dataclasses.replace(model.config, quantized=True))
+        qvars = {"params": quantize_params(variables["params"])}
+        # quantized tree has int8 kernels + scales for every projection
+        p = qvars["params"]["layers_0"]["attention"]["wqkv"]
+        assert p["kernel"].dtype == jnp.int8 and "scale" in p
+
+        idx = jax.random.randint(jax.random.PRNGKey(1), (2, 11), 0, 32)
+        cond = jnp.array([0, 1])
+        ref, _ = model.apply(variables, idx, cond)
+        got, _ = qmodel.apply(qvars, idx, cond)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        rng_span = float(jnp.max(jnp.abs(ref))) + 1e-6
+        assert err / rng_span < 0.05, (err, rng_span)
+
+        seq = generate(qmodel, qvars, cond, 8, jax.random.PRNGKey(0),
+                       sample_logits=False)
+        assert seq.shape == (2, 8)
+
     def test_bf16_cache_matches_fp32_cache(self, ar):
         """bf16 params emit bf16 k/v, so the default bf16 KV cache (the HBM
         halving used by sample.py --dtype bfloat16) is lossless vs an fp32

@@ -68,10 +68,76 @@ class ModelArgs:
     # (jax.checkpoint via nn.remat) — trades ~30% step FLOPs for O(n_layer)x
     # less activation memory; for XXL/XXXL training and long sequences.
     remat: bool = False
+    # int8 weight-only serving: every projection becomes a QuantDense
+    # (kernel int8 + per-output-channel fp32 scale). Decode is bound by
+    # weight streaming, so halving the weight bytes is ~a 1.3x tokens/s win;
+    # XLA fuses the dequant into the matmul (no bf16 weight materialization).
+    # Inference-only: convert a trained checkpoint with `quantize_params`.
+    quantized: bool = False
 
 
 def _normal_init(std):
     return nn.initializers.normal(std)
+
+
+class QuantDense(nn.Module):
+    """Weight-only int8 linear (no bias): y = (x @ w_q.astype(x.dtype)) * s,
+    with w_q int8 and s the per-output-channel dequant scale. Matmul math
+    matches nn.Dense (input dtype, e.g. bf16); built by `quantize_params`."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.zeros, (x.shape[-1], self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        y = jax.lax.dot_general(
+            x, kernel.astype(x.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+        )
+        return y * scale.astype(y.dtype)
+
+
+def _dense(cfg: "ModelArgs", features: int, kernel_init, name: str):
+    if cfg.quantized:
+        return QuantDense(features, name=name)
+    return nn.Dense(
+        features, use_bias=False, kernel_init=kernel_init, name=name
+    )
+
+
+_QUANT_TARGETS = ("wqkv", "wo", "w1", "w2", "w3", "output")
+
+
+def quantize_params(params):
+    """Convert a trained (float) LARP_AR param tree into the tree a
+    `quantized=True` model expects: every projection kernel becomes
+    {kernel: int8, scale: fp32[N]} via symmetric per-output-channel
+    quantization. Embeddings, norms, and the PE stay float (negligible
+    decode traffic)."""
+
+    def walk(tree):
+        out = {}
+        for name, sub in tree.items():
+            if name in _QUANT_TARGETS and isinstance(sub, dict) \
+                    and "kernel" in sub:
+                w = jnp.asarray(sub["kernel"], jnp.float32)
+                scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+                scale = jnp.maximum(scale, 1e-8)
+                q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+                out[name] = {"kernel": q, "scale": scale}
+            elif isinstance(sub, dict):
+                out[name] = walk(sub)
+            else:
+                out[name] = sub
+        return out
+
+    return walk(params)
 
 
 class DropPath(nn.Module):
@@ -98,11 +164,9 @@ class FeedForward(nn.Module):
             hidden = int(cfg.ffn_dim_multiplier * hidden)
         hidden = find_multiple(hidden, cfg.multiple_of)
         init = _normal_init(cfg.initializer_range)
-        w1 = nn.Dense(hidden, use_bias=False, kernel_init=init, name="w1")(x)
-        w3 = nn.Dense(hidden, use_bias=False, kernel_init=init, name="w3")(x)
-        out = nn.Dense(cfg.dim, use_bias=False, kernel_init=init, name="w2")(
-            nn.silu(w1) * w3
-        )
+        w1 = _dense(cfg, hidden, init, "w1")(x)
+        w3 = _dense(cfg, hidden, init, "w3")(x)
+        out = _dense(cfg, cfg.dim, init, "w2")(nn.silu(w1) * w3)
         return nn.Dropout(cfg.ffn_dropout_p, deterministic=not train)(out)
 
 
@@ -115,13 +179,11 @@ class Attention(nn.Module):
         self.n_head = cfg.n_head
         self.n_kv_head = cfg.n_kv_head or cfg.n_head
         total = (self.n_head + 2 * self.n_kv_head) * self.head_dim
-        self.wqkv = nn.Dense(
-            total, use_bias=False,
-            kernel_init=_normal_init(cfg.initializer_range), name="wqkv",
+        self.wqkv = _dense(
+            cfg, total, _normal_init(cfg.initializer_range), "wqkv"
         )
-        self.wo = nn.Dense(
-            cfg.dim, use_bias=False,
-            kernel_init=_normal_init(cfg.initializer_range), name="wo",
+        self.wo = _dense(
+            cfg, cfg.dim, _normal_init(cfg.initializer_range), "wo"
         )
         self.resid_dropout = nn.Dropout(cfg.resid_dropout_p)
 
@@ -295,9 +357,8 @@ class LARP_AR(nn.Module):
             for i in range(cfg.n_layer)
         ]
         self.norm = nn.RMSNorm(epsilon=cfg.norm_eps, name="norm")
-        self.output = nn.Dense(
-            cfg.vocab_size, use_bias=False,
-            kernel_init=nn.initializers.zeros, name="output",
+        self.output = _dense(
+            cfg, cfg.vocab_size, nn.initializers.zeros, "output"
         )
 
         pe_len = cfg.max_seq_len + cfg.cls_token_num - 1
