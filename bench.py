@@ -69,10 +69,17 @@ def bench_tokenizer(batch_size: int = 8, iters: int = 20, dtype=jnp.bfloat16):
     return batch_size * iters / dt
 
 
-def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024):
+def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
+                      int8: bool = False):
     """KV-cache decode throughput on the 632M llama-abs-LP geometry, at the
-    flagship workload (1024 codes/video, scripts/train_larp_ar_reproduce.sh)."""
-    from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
+    flagship workload (1024 codes/video, scripts/train_larp_ar_reproduce.sh).
+    int8=True measures the weight-only-quantized serving mode
+    (sample.py --dtype int8)."""
+    import dataclasses
+
+    from video_tokenizer_tpu.models.larp_ar import (
+        LARP_AR, ModelArgs, quantize_params,
+    )
     from video_tokenizer_tpu.generation import generate
 
     cfg = ModelArgs(
@@ -87,6 +94,9 @@ def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024):
     variables = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16), variables
     )
+    if int8:
+        model = LARP_AR(dataclasses.replace(cfg, quantized=True))
+        variables = {"params": quantize_params(variables["params"])}
 
     key = jax.random.PRNGKey(1)
     seq = generate(model, variables, cond, new_tokens, key, cfg_scale=1.5, top_k=100)
@@ -129,6 +139,9 @@ def main():
     if not args.skip_ar:
         try:
             extras["ar_tokens_per_s"] = round(bench_ar_sampling(), 1)
+            extras["ar_tokens_per_s_int8"] = round(
+                bench_ar_sampling(int8=True), 1
+            )
         except Exception as e:
             extras["ar_tokens_per_s_error"] = str(e)
 
