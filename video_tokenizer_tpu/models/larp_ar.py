@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from ..ops import sincos
 from ..ops.attention import attention
-from ..ops.decode_attention import decode_attention
+from ..ops.decode_attention import _quantize_rows, decode_attention
 from ..registry import models
 from .embed import LabelEmbedder
 
@@ -212,9 +212,33 @@ class Attention(nn.Module):
         out = self.wo(out)
         return self.resid_dropout(out, deterministic=not train)
 
-    def prefill(self, x, k_cache, v_cache, cond_mask=None):
-        """Process S prompt tokens; writes this layer's cache IN PLACE
-        (k_cache/v_cache: [B, S, Hkv, D], donated upstream). Per-layer arrays
+    def _store(self, lc, rows_k, rows_v, start_pos):
+        """Write [B, T, KV] K/V rows into the layer cache dict at row
+        `start_pos`. One sublane-row write of the [B, S, KV] cache — cheap;
+        a lane-dim update would RMW every tile in that lane's column (see
+        ops/decode_attention.py design notes). int8 caches ('ks'/'vs' scale
+        planes present) quantize per (batch, position) row."""
+        B, T, _ = rows_k.shape
+        out = dict(lc)
+        for name, sname, rows in (("k", "ks", rows_k), ("v", "vs", rows_v)):
+            if sname in lc:
+                q8, scale = _quantize_rows(rows)
+                out[name] = jax.lax.dynamic_update_slice(
+                    lc[name], q8, (0, start_pos, 0)
+                )
+                out[sname] = jax.lax.dynamic_update_slice(
+                    lc[sname], scale.T.astype(lc[sname].dtype),
+                    (start_pos, 0),
+                )
+            else:
+                out[name] = jax.lax.dynamic_update_slice(
+                    lc[name], rows.astype(lc[name].dtype), (0, start_pos, 0)
+                )
+        return out
+
+    def prefill(self, x, lc, cond_mask=None):
+        """Process S prompt tokens; writes this layer's cache dict IN PLACE
+        (lc['k'|'v']: [B, S, Hkv * D], donated upstream). Per-layer arrays
         rather than one stacked [L, ...] buffer: XLA fuses the k+v updates of
         a layer into one kernel, and a fused kernel addressing >2 GiB of a
         stacked cache faults on TPU (int32 byte offsets) — per-layer buffers
@@ -223,11 +247,8 @@ class Attention(nn.Module):
         as attention KEYS (the reference's emb_masks, ar/generate.py:151-160)."""
         B, S, _ = x.shape
         q, k, v = self._split_qkv(x)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.reshape(B, S, -1).astype(k_cache.dtype), (0, 0, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.reshape(B, S, -1).astype(v_cache.dtype), (0, 0, 0)
+        lc = self._store(
+            lc, k.reshape(B, S, -1), v.reshape(B, S, -1), 0
         )
         if self.n_kv_head != self.n_head:
             rep = self.n_head // self.n_kv_head
@@ -241,30 +262,23 @@ class Attention(nn.Module):
             ).reshape(B, S, -1)
         else:
             out = attention(q, k, v, causal=True).reshape(B, S, -1)
-        return self.wo(out), k_cache, v_cache
+        return self.wo(out), lc
 
-    def decode_step(self, x, input_pos, k_cache, v_cache, key_valid=None):
+    def decode_step(self, x, input_pos, lc, key_valid=None):
         """One-token decode; updates one position of this layer's cache in
         place — no full-cache copies in the sampling loop.
         key_valid: optional [B, S_cache] bool masking invalid cache slots."""
         B = x.shape[0]
         q, k, v = self._split_qkv(x)  # [B,1,H,D], [B,1,Hkv,D]
         pos = input_pos.astype(jnp.int32)
-        # one sublane-row write of the [B, S, KV] cache — cheap; a lane-dim
-        # update would RMW every tile in that lane's column (see
-        # ops/decode_attention.py design notes)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.reshape(B, 1, -1).astype(k_cache.dtype), (0, pos, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.reshape(B, 1, -1).astype(v_cache.dtype), (0, pos, 0)
-        )
+        lc = self._store(lc, k.reshape(B, 1, -1), v.reshape(B, 1, -1), pos)
         out = decode_attention(
-            q.reshape(B, self.n_head, self.head_dim), k_cache, v_cache, pos,
+            q.reshape(B, self.n_head, self.head_dim), lc["k"], lc["v"], pos,
             key_valid=key_valid,
+            k_scale=lc.get("ks"), v_scale=lc.get("vs"),
         )
         out = out.reshape(B, 1, self.n_head * self.head_dim).astype(x.dtype)
-        return self.wo(out), k_cache, v_cache
+        return self.wo(out), lc
 
 
 def _apply_block(layer, x, train):
@@ -292,19 +306,19 @@ class TransformerBlock(nn.Module):
             self.feed_forward(self.ffn_norm(h), train=train), train
         )
 
-    def prefill(self, x, k_cache, v_cache, cond_mask=None):
-        a, k_cache, v_cache = self.attention.prefill(
-            self.attention_norm(x), k_cache, v_cache, cond_mask
+    def prefill(self, x, lc, cond_mask=None):
+        a, lc = self.attention.prefill(
+            self.attention_norm(x), lc, cond_mask
         )
         h = x + a
-        return h + self.feed_forward(self.ffn_norm(h)), k_cache, v_cache
+        return h + self.feed_forward(self.ffn_norm(h)), lc
 
-    def decode_step(self, x, input_pos, k_cache, v_cache, key_valid=None):
-        a, k_cache, v_cache = self.attention.decode_step(
-            self.attention_norm(x), input_pos, k_cache, v_cache, key_valid
+    def decode_step(self, x, input_pos, lc, key_valid=None):
+        a, lc = self.attention.decode_step(
+            self.attention_norm(x), input_pos, lc, key_valid
         )
         h = x + a
-        return h + self.feed_forward(self.ffn_norm(h)), k_cache, v_cache
+        return h + self.feed_forward(self.ffn_norm(h)), lc
 
 
 class LARP_AR(nn.Module):
@@ -437,6 +451,20 @@ class LARP_AR(nn.Module):
         n_kv = cfg.n_kv_head or cfg.n_head
         head_dim = cfg.dim // cfg.n_head
         shape = (batch_size, S, n_kv * head_dim)
+        if dtype == jnp.int8:
+            # quantized cache: int8 rows + per-(position, batch) fp32 scale
+            # planes, laid out [S, 128] so the decode kernel's per-block
+            # slices stay tile-aligned (batch in the first B lanes)
+            assert batch_size <= 128, "int8 cache supports batch <= 128"
+            return tuple(
+                {
+                    "k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "ks": jnp.zeros((S, 128), jnp.float32),
+                    "vs": jnp.zeros((S, 128), jnp.float32),
+                }
+                for _ in range(cfg.n_layer)
+            )
         return tuple(
             {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(cfg.n_layer)
@@ -450,8 +478,8 @@ class LARP_AR(nn.Module):
         h = h + self.abs_pe[:, :T].astype(h.dtype)
         new_cache = []
         for layer, lc in zip(self.layers, cache):
-            h, kc, vc = layer.prefill(h, lc["k"], lc["v"], cond_mask)
-            new_cache.append({"k": kc, "v": vc})
+            h, lc = layer.prefill(h, lc, cond_mask)
+            new_cache.append(lc)
         h = self.norm(h)
         logits = self.output(h[:, -1:])
         return logits, tuple(new_cache)
@@ -467,8 +495,8 @@ class LARP_AR(nn.Module):
         h = h + pe.astype(h.dtype)
         new_cache = []
         for layer, lc in zip(self.layers, cache):
-            h, kc, vc = layer.decode_step(h, input_pos, lc["k"], lc["v"], key_valid)
-            new_cache.append({"k": kc, "v": vc})
+            h, lc = layer.decode_step(h, input_pos, lc, key_valid)
+            new_cache.append(lc)
         h = self.norm(h)
         logits = self.output(h)
         return logits, tuple(new_cache)
