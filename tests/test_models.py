@@ -290,6 +290,49 @@ class TestAR:
                         sample_logits=False)
         assert full.shape == (2, 8)
 
+    def test_int8_cache_matches_fp32_cache(self, ar):
+        """int8 KV cache (per-row symmetric quantization, [S, 128] scale
+        planes): prefill + decode logits stay close to the fp32-cache path,
+        and compiled generation with cache_dtype=int8 runs end-to-end."""
+        model, variables = ar
+        cond = jnp.array([2, 3])
+        S = 16  # covers max_seq_len=12, multiple of 8
+
+        def run(dtype):
+            cache = model.apply(
+                variables, 2, S, dtype, method=model.init_cache
+            )
+            logits, cache = model.apply(
+                variables, cond, cache, None, method=model.prefill
+            )
+            outs = [logits[:, -1]]
+            tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+            for i in range(4):
+                logits, cache = model.apply(
+                    variables, tok, jnp.int32(1 + i), cache,
+                    method=model.decode_step,
+                )
+                outs.append(logits[:, -1])
+                tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+            return jnp.stack(outs)
+
+        ref = run(jnp.float32)
+        got = run(jnp.int8)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        span = float(jnp.max(jnp.abs(ref))) + 1e-6
+        assert err / span < 0.05, (err, span)
+        # int8 cache scale planes exist and are written
+        cache = model.apply(variables, 2, S, jnp.int8, method=model.init_cache)
+        assert cache[0]["k"].dtype == jnp.int8 and "ks" in cache[0]
+        _, cache = model.apply(
+            variables, cond, cache, None, method=model.prefill
+        )
+        assert float(jnp.max(cache[0]["ks"])) > 0.0
+        # full compiled generation with the int8 cache
+        seq = generate(model, variables, cond, 8, jax.random.PRNGKey(0),
+                       sample_logits=False, cache_dtype=jnp.int8)
+        assert seq.shape == (2, 8)
+
 
 class TestTopKTopP:
     def test_top_k(self):

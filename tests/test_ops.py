@@ -106,6 +106,30 @@ class TestDecodeAttention:
         )[:, 0]
         assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
+    def test_int8_scale_planes_dequantize(self):
+        """int8 cache + [S, 128] per-row scale planes ~= the fp32 cache
+        (quantization error only; per-row symmetric int8 keeps relative
+        error ~1/127 per element)."""
+        from video_tokenizer_tpu.ops.decode_attention import _quantize_rows
+
+        B, S, H, D = 4, 16, 2, 8
+        k = jax.random.normal(jax.random.PRNGKey(0), (B, S, H * D))
+        v = jax.random.normal(jax.random.PRNGKey(1), (B, S, H * D))
+        q = jax.random.normal(jax.random.PRNGKey(2), (B, H, D))
+        ref = decode_attention(q, k, v, jnp.int32(S - 1))
+
+        kq, ks = _quantize_rows(k)
+        vq, vs = _quantize_rows(v)
+        assert kq.dtype == jnp.int8 and ks.shape == (B, S)
+        # round-trip element error bounded by half a quantization step
+        assert np.allclose(kq * ks[..., None], k, atol=float(ks.max()) * 0.51)
+        ksp = jnp.zeros((S, 128)).at[:, :B].set(ks.T)
+        vsp = jnp.zeros((S, 128)).at[:, :B].set(vs.T)
+        got = decode_attention(
+            q, kq, vq, jnp.int32(S - 1), k_scale=ksp, v_scale=vsp
+        )
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=0.03)
+
 
 class TestVQLookup:
     def test_l2_argmin(self):

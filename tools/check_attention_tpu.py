@@ -129,6 +129,26 @@ def main():
                 tag = f"B{B} S{S} Hkv{Hkv} rep{rep} pos{pos} valid={with_valid}"
                 ok &= check(f"decode {tag}", got, want, 2e-2)
 
+    # int8 quantized cache (per-row scales in [S, 128] planes), MHA and GQA
+    from video_tokenizer_tpu.ops.decode_attention import _quantize_rows
+
+    for (B, S, Hkv, rep, D) in [(8, 1152, 20, 1, 64), (4, 384, 4, 3, 64)]:
+        H = Hkv * rep
+        q = jnp.asarray(rng.randn(B, H, D), jnp.bfloat16)
+        kf = jnp.asarray(rng.randn(B, S, Hkv * D), jnp.float32)
+        vf = jnp.asarray(rng.randn(B, S, Hkv * D), jnp.float32)
+        kq8, ks = _quantize_rows(kf)
+        vq8, vs = _quantize_rows(vf)
+        ksp = jnp.zeros((S, 128), jnp.float32).at[:, :B].set(ks.T)
+        vsp = jnp.zeros((S, 128), jnp.float32).at[:, :B].set(vs.T)
+        for pos in (0, S // 2, S - 1):
+            got = decode_attention(q, kq8, vq8, jnp.int32(pos),
+                                   k_scale=ksp, v_scale=vsp, use_pallas=True)
+            want = xla_decode_attention(q, kq8, vq8, jnp.int32(pos),
+                                        k_scale=ksp, v_scale=vsp)
+            tag = f"int8 B{B} S{S} Hkv{Hkv} rep{rep} pos{pos}"
+            ok &= check(f"decode {tag}", got, want, 2e-2)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
 

@@ -173,10 +173,13 @@ def generate(
             variables, tok, pos, cache, key_valid, method=model.decode_step
         )
         if use_cfg:
+            # scan index i is 1-based over decoded tokens (i=1 follows the
+            # prefill sample), while the reference's decode_n_tokens index is
+            # 0-based — its `i > cfg_interval` cutoff maps to (i - 1) here
             cfg_flag = (
                 jnp.asarray(True)
                 if cfg_interval <= -1
-                else (i + 1) <= cfg_interval
+                else (i - 1) <= cfg_interval
             )
             logits_last = _combine_cfg(logits, cfg_scale, cfg_flag)
         else:

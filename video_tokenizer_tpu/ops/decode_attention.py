@@ -29,8 +29,14 @@ Per-head score/value reductions never reshape the KV dim (that would be a
 lane->sublane relayout): the 64-lane head segments are summed with one tiny
 MXU matmul against a 0/1 selector matrix built from iota, and probabilities
 are broadcast back through its transpose. Scores/softmax are fp32 in VMEM,
-matching `ops.attention`'s training kernel. MHA only (rep == 1 — every
-llama-abs zoo entry); GQA uses the XLA fallback.
+matching `ops.attention`'s training kernel.
+
+GQA (n_kv_head < n_head, reference larp_ar.py:190-209): the rep query heads
+of each KV group are folded into a leading batch-like dim ([rep * B, KV]
+query layout), so every DMA'd K/V block is shared by all rep heads — the
+cache traffic (the decode bottleneck) is identical to MHA's, with only
+O(rep) extra on-chip VPU work. int8 caches add [S, 128] per-row scale
+planes dequantized in-kernel (`_quantize_rows`).
 
 Public entry: `decode_attention(q, k_cache, v_cache, pos, key_valid=None)`
 with q [B, H, D], caches [B, S, Hkv * D].
@@ -48,31 +54,55 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _quantize_rows(rows: jax.Array):
+    """Symmetric per-(batch, position)-row int8 quantization of K/V rows.
+
+    rows: [B, T, KV] float -> (q8 int8 [B, T, KV], scale fp32 [B, T]) with
+    rows ~= q8 * scale[..., None]. One scale per cache row keeps dequant a
+    rank-1 broadcast in both the XLA path and the Pallas kernel's [S, 128]
+    scale-plane layout (see `init_cache` in models/larp_ar.py)."""
+    rows = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(rows), axis=-1)  # [B, T]
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q8 = jnp.clip(
+        jnp.round(rows / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q8, scale
+
+
 def _decode_kernel(
     pos_ref,  # scalar prefetch: [1] int32
-    q_ref,  # [B, KV] VMEM (KV == H * D for MHA)
+    q_ref,  # [rep * B, KV] VMEM (KV == Hkv * D; rep == 1 for MHA). GQA
+    #         folds the rep query heads of each KV group into a leading
+    #         batch-like dim so every DMA'd K/V block is shared by all rep
+    #         heads — zero extra cache traffic vs MHA, only O(rep) extra
+    #         VPU/selector work per block.
     k_hbm,  # [B, S, KV] ANY (stays in HBM)
     v_hbm,  # [B, S, KV] ANY
     bias_hbm,  # [S, 128] fp32 ANY (0 valid / -inf-ish invalid; batch in
     #            the first B lanes, lane dim padded to the 128 tile)
-    o_ref,  # [B, KV] VMEM
-    k_buf,  # scratch [2, B, block_s, KV]
-    v_buf,  # scratch [2, B, block_s, KV]
-    b_buf,  # scratch [2, block_s, 128]
-    k_sem,  # DMA semaphores (2,)
-    v_sem,
-    b_sem,
-    *,
+    *rest,
     sm_scale: float,
     block_s: int,
     head_dim: int,
+    rep: int,
+    quantized: bool,
 ):
+    # int8 caches add two [S, 128] fp32 scale-plane operands (same layout as
+    # the bias plane: S in the sublane dim, batch in the first B lanes) plus
+    # their double-buffered scratch/semaphores.
+    if quantized:
+        (ks_hbm, vs_hbm, o_ref, k_buf, v_buf, b_buf, ks_buf, vs_buf,
+         k_sem, v_sem, b_sem, ks_sem, vs_sem) = rest
+    else:
+        o_ref, k_buf, v_buf, b_buf, k_sem, v_sem, b_sem = rest
+        ks_hbm = vs_hbm = ks_buf = vs_buf = ks_sem = vs_sem = None
     pos = pos_ref[0]
     nb = pos // block_s + 1  # live blocks (dynamic)
 
     def kv_copy(j, slot):
         s_slice = pl.ds(j * block_s, block_s)
-        return (
+        copies = [
             pltpu.make_async_copy(
                 k_hbm.at[:, s_slice], k_buf.at[slot], k_sem.at[slot]
             ),
@@ -82,14 +112,24 @@ def _decode_kernel(
             pltpu.make_async_copy(
                 bias_hbm.at[s_slice], b_buf.at[slot], b_sem.at[slot]
             ),
-        )
+        ]
+        if quantized:
+            copies += [
+                pltpu.make_async_copy(
+                    ks_hbm.at[s_slice], ks_buf.at[slot], ks_sem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    vs_hbm.at[s_slice], vs_buf.at[slot], vs_sem.at[slot]
+                ),
+            ]
+        return copies
 
     for c in kv_copy(0, 0):
         c.start()
 
     _, B, _, KV = k_buf.shape
-    H = KV // head_dim
-    q = q_ref[...].astype(jnp.float32)  # [B, KV]
+    H = KV // head_dim  # KV heads (== query heads when rep == 1)
+    q = q_ref[...].astype(jnp.float32).reshape(rep, B, KV)
     # 0/1 head selector: sel[c, h] = 1 iff lane c belongs to head h. One
     # small MXU matmul sums each head's lane segment — reshaping the KV lane
     # dim into (H, D) would be a lane->sublane relayout instead.
@@ -110,55 +150,70 @@ def _decode_kernel(
             c.wait()
         k = k_buf[slot].astype(jnp.float32)  # [B, block_s, KV]
         v = v_buf[slot].astype(jnp.float32)
+        if quantized:
+            ks = jnp.swapaxes(ks_buf[slot][:, :B], 0, 1)[:, :, None]
+            vs = jnp.swapaxes(vs_buf[slot][:, :B], 0, 1)[:, :, None]
+            k = k * ks  # [B, block_s, KV] dequant per cache row
+            v = v * vs
 
-        qk = q[:, None, :] * k  # [B, block_s, KV]
+        qk = q[:, :, None, :] * k[None]  # [rep, B, block_s, KV]
         s = jax.lax.dot_general(
-            qk.reshape(B * block_s, KV), sel, (((1,), (0,)), ((), ())),
+            qk.reshape(rep * B * block_s, KV), sel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(B, block_s, H) * sm_scale
+        ).reshape(rep, B, block_s, H) * sm_scale
 
         k_pos = j * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_s, 1), 1
+            jnp.int32, (1, 1, block_s, 1), 2
         )
-        bias = jnp.swapaxes(b_buf[slot][:, :B], 0, 1)[:, :, None]  # [B,bs,1]
+        bias = jnp.swapaxes(b_buf[slot][:, :B], 0, 1)[None, :, :, None]
         s = jnp.where(k_pos <= pos, s + bias, DEFAULT_MASK_VALUE)
 
         # online softmax over the block_s dim
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [B, 1, H]
+        m_cur = jnp.max(s, axis=2, keepdims=True)  # [rep, B, 1, H]
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [B, block_s, H]
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_new)  # [rep, B, block_s, H]
+        l_new = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
 
         # broadcast p back across each head's lanes, weight V, reduce the
-        # block_s dim -> [B, KV]
+        # block_s dim -> [rep, B, KV]
         pb = jax.lax.dot_general(
-            p.reshape(B * block_s, H), sel, (((1,), (1,)), ((), ())),
+            p.reshape(rep * B * block_s, H), sel, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(B, block_s, KV)
-        pv = jnp.sum(pb * v, axis=1)
+        ).reshape(rep, B, block_s, KV)
+        pv = jnp.sum(pb * v[None], axis=2)
         alpha_full = jax.lax.dot_general(
-            alpha[:, 0], sel, (((1,), (1,)), ((), ())),
+            alpha[:, :, 0].reshape(rep * B, H), sel, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [B, KV]
+        ).reshape(rep, B, KV)
         return m_new, l_new, acc * alpha_full + pv
 
-    m0 = jnp.full((B, 1, H), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((B, 1, H), jnp.float32)
-    acc0 = jnp.zeros((B, KV), jnp.float32)
+    m0 = jnp.full((rep, B, 1, H), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rep, B, 1, H), jnp.float32)
+    acc0 = jnp.zeros((rep, B, KV), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
     l_full = jax.lax.dot_general(
-        l[:, 0], sel, (((1,), (1,)), ((), ())),
+        l[:, :, 0].reshape(rep * B, H), sel, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    o_ref[...] = (acc / l_full).astype(o_ref.dtype)
+    ).reshape(rep, B, KV)
+    o_ref[...] = (acc / l_full).reshape(rep * B, KV).astype(o_ref.dtype)
 
 
 def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
-                   head_dim):
+                   head_dim, k_scale=None, v_scale=None):
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
+    rep = (H * D) // KV  # query heads per KV head (1 for MHA)
+    quantized = k_scale is not None
     pos = jnp.asarray(pos, jnp.int32).reshape(1)
+    # GQA: query head h reads KV group h // rep (matching the training
+    # path's jnp.repeat). Lay q out [rep, B, Hkv * D] -> [rep * B, KV] so
+    # each r-slice aligns with the [B, ...] K/V blocks in the kernel.
+    q_in = (
+        q.reshape(B, KV // D, rep, D)
+        .transpose(2, 0, 1, 3)
+        .reshape(rep * B, KV)
+    )
     # key validity as an additive bias laid out [S, 128] (batch in the first
     # B lanes): S in the SUBLANE dim so per-block DMA slices are
     # tile-aligned, and the lane dim padded to the 128 tile (lane slices of
@@ -171,50 +226,60 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
             ((0, 0), (0, 128 - B)),
         )
 
+    n_hbm = 5 if quantized else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec((B, KV), lambda i, pos_ref: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((B, KV), lambda i, pos_ref: (0, 0)),
+        in_specs=[pl.BlockSpec((rep * B, KV), lambda i, pos_ref: (0, 0))]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_hbm,
+        out_specs=pl.BlockSpec((rep * B, KV), lambda i, pos_ref: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, B, block_s, KV), k_cache.dtype),
             pltpu.VMEM((2, B, block_s, KV), v_cache.dtype),
             pltpu.VMEM((2, block_s, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        + ([pltpu.VMEM((2, block_s, 128), jnp.float32)] * 2 if quantized
+           else [])
+        + [pltpu.SemaphoreType.DMA((2,))] * (n_hbm),
     )
     kernel = functools.partial(
-        _decode_kernel, sm_scale=sm_scale, block_s=block_s, head_dim=head_dim
+        _decode_kernel, sm_scale=sm_scale, block_s=block_s,
+        head_dim=head_dim, rep=rep, quantized=quantized,
     )
+    operands = [pos, q_in, k_cache, v_cache, bias]
+    if quantized:
+        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KV), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((rep * B, KV), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(pos, q.reshape(B, KV), k_cache, v_cache, bias)
-    return out.reshape(B, H, D)
+    )(*operands)
+    # [rep, B, Hkv, D] -> [B, H, D] with h = g * rep + r
+    return (
+        out.reshape(rep, B, KV // D, D).transpose(1, 2, 0, 3).reshape(B, H, D)
+    )
 
 
 def xla_decode_attention(q, k_cache, v_cache, pos, key_valid=None,
-                         sm_scale=None):
+                         sm_scale=None, k_scale=None, v_scale=None):
     """Reference/fallback path in pure XLA. q: [B, H, D];
     k_cache/v_cache: [B, S, Hkv * D]; pos: scalar (last live key,
-    inclusive)."""
+    inclusive); k_scale/v_scale: optional [S, 128] fp32 dequant planes for
+    int8 caches (batch in the first B lanes, one scale per cache row)."""
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
     Hkv = KV // D
     rep = H // Hkv
     scale = sm_scale if sm_scale is not None else D ** -0.5
     qg = q.reshape(B, Hkv, rep, D)
+    k_cache = k_cache.astype(jnp.float32)
+    v_cache = v_cache.astype(jnp.float32)
+    if k_scale is not None:
+        k_cache = k_cache * k_scale[:, :B].T[:, :, None]
+        v_cache = v_cache * v_scale[:, :B].T[:, :, None]
     kh = k_cache.reshape(B, S, Hkv, D)
     vh = v_cache.reshape(B, S, Hkv, D)
     scores = jnp.einsum(
@@ -247,6 +312,8 @@ def decode_attention(
     key_valid: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One-token decode attention over a KV cache.
 
@@ -254,9 +321,11 @@ def decode_attention(
     fused into one lane-dense dim); pos: scalar int32 absolute position of
     the current token (its K/V must already be written to the cache);
     key_valid: optional [B, S] bool marking cache slots usable as keys (the
-    emb_masks path). Returns [B, H, D] in q.dtype. `use_pallas=None`
-    auto-selects; the Pallas path covers MHA with a 128-multiple KV width —
-    GQA and tiny test geometries use the XLA path.
+    emb_masks path); k_scale/v_scale: optional [S, 128] fp32 per-row dequant
+    planes for int8 caches (see `_quantize_rows`). Returns [B, H, D] in
+    q.dtype. `use_pallas=None` auto-selects; the Pallas path covers MHA and
+    GQA with a 128-multiple KV-cache width — tiny test geometries use the
+    XLA path.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -265,12 +334,13 @@ def decode_attention(
     # ~12 MB of the default 16 MB scoped-VMEM budget for the 4 in-flight
     # (double-buffered) K+V blocks
     block_s = _pick_block_s(S, 12 << 20, B * KV * k_cache.dtype.itemsize)
-    if (not use_pallas or H * D != KV or KV % 128 != 0 or block_s == 0
+    if (not use_pallas or (H * D) % KV != 0 or KV % 128 != 0 or block_s == 0
             or B > 128):
         return xla_decode_attention(
-            q, k_cache, v_cache, pos, key_valid, sm_scale
+            q, k_cache, v_cache, pos, key_valid, sm_scale, k_scale, v_scale
         )
     scale = sm_scale if sm_scale is not None else D ** -0.5
     return _pallas_decode(
-        q, k_cache, v_cache, pos, key_valid, scale, block_s, D
+        q, k_cache, v_cache, pos, key_valid, scale, block_s, D,
+        k_scale, v_scale,
     )

@@ -48,7 +48,21 @@ def shard_params_tp(params: Any, mesh: Mesh) -> Any:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """Per-layer KV cache [B, S, Hkv * head_dim]: batch over 'data', the
-    fused head dim over 'model' (apply to every leaf of the per-layer cache
-    tuple)."""
+    """Per-layer KV cache 'k'/'v' leaves [B, S, Hkv * head_dim]: batch over
+    'data', the fused head dim over 'model'. Use `shard_cache` for whole
+    cache pytrees — int8 caches carry rank-2 [S, 128] scale planes that must
+    be replicated instead."""
     return NamedSharding(mesh, P("data", None, "model"))
+
+
+def shard_cache(cache: Any, mesh: Mesh) -> Any:
+    """Place every leaf of a per-layer KV cache pytree: rank-3 'k'/'v'
+    buffers get `cache_sharding`; rank-2 int8 scale planes are replicated
+    (they are tiny: [S, 128] fp32 per layer)."""
+    kv = cache_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    def place(leaf):
+        return jax.device_put(leaf, kv if leaf.ndim == 3 else rep)
+
+    return jax.tree_util.tree_map(place, cache)
