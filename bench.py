@@ -26,6 +26,56 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 CPU_BASELINE_CLIPS_PER_S = None  # filled after first CPU measurement below
 _CPU_BASELINE_FILE = "cpu_baseline.json"
 
+# v5e chip peaks used to turn measured throughput into utilization numbers.
+# (If the driver runs on a different chip generation the ratios shift but the
+# analytic FLOP/byte counts stay correct.)
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+
+
+def tokenizer_flops_per_clip() -> float:
+    """Analytic forward FLOPs for one 16x128x128 clip through the flagship
+    LARP-L-long geometry (2048 patch + 1024 latent tokens, d=768, 12+12
+    layers, VQ-8192). Counts matmul FLOPs (2*M*N*K); elementwise/LN/softmax
+    are bandwidth, not FLOPs, and are excluded. This is the arithmetic
+    behind the `mfu` field — the round-1 README's '~76% of peak' claim was
+    wrong (it divided by fwd-only FLOPs of a smaller sequence)."""
+    d = 768
+    layers = 24  # 12 encoder + 12 decoder
+    s = 3072  # both stacks attend over [2048 patches || 1024 latents]
+    per_layer = (
+        8 * s * d * d  # q,k,v,o projections: 4 matmuls, 2*s*d*d each
+        + 4 * s * s * d  # scores (2*s^2*d) + prob@V (2*s^2*d)
+        + 16 * s * d * d  # MLP ratio 4: 2 matmuls, 2*s*d*4d each
+    )
+    patch = 2 * 2048 * d * (3 * 4 * 8 * 8)  # conv3d patchify as matmul
+    unpatch = 2 * 2048 * d * (3 * 4 * 8 * 8)  # output layer
+    vq = 2 * 1024 * 8 * 8192  # codebook distance scan (bottleneck_dim 8)
+    proj = 2 * 1024 * d * 8 * 2  # bottleneck in/out projections
+    return float(layers * per_layer + patch + unpatch + vq + proj)
+
+
+def ar_decode_bytes_per_token(emit_batch: int, cache_batch: int,
+                              avg_pos: float, weight_bytes_per_param: float,
+                              cache_bytes_per_elem: float = 2.0) -> float:
+    """HBM bytes streamed per EMITTED token on the 632M llama-abs-LP
+    geometry: every step re-reads all projection weights plus the live
+    prefix of every layer's K+V cache. cache_batch > emit_batch under CFG
+    (batch doubling). The decode loop is bandwidth-bound, so
+    tokens/s * bytes/token ~= achieved HBM GB/s."""
+    n_layer, dim, vocab = 30, 1280, 8192
+    hidden = 3456  # SwiGLU 2/3*4d rounded to multiple of 256
+    proj_params = n_layer * (
+        3 * dim * dim  # wqkv (MHA: q + k + v)
+        + dim * dim  # wo
+        + 3 * dim * hidden  # w1, w2, w3
+    ) + dim * vocab  # output head
+    weight_traffic = proj_params * weight_bytes_per_param
+    kv_traffic = (
+        cache_batch * n_layer * 2 * avg_pos * dim * cache_bytes_per_elem
+    )
+    return (weight_traffic + kv_traffic) / emit_batch
+
 
 def bench_tokenizer(batch_size: int = 8, iters: int = 20, dtype=jnp.bfloat16):
     # NOTE: on the axon TPU tunnel, block_until_ready returns before the
@@ -70,11 +120,12 @@ def bench_tokenizer(batch_size: int = 8, iters: int = 20, dtype=jnp.bfloat16):
 
 
 def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
-                      int8: bool = False):
+                      int8: bool = False, int8_kv: bool = False):
     """KV-cache decode throughput on the 632M llama-abs-LP geometry, at the
     flagship workload (1024 codes/video, scripts/train_larp_ar_reproduce.sh).
     int8=True measures the weight-only-quantized serving mode
-    (sample.py --dtype int8)."""
+    (sample.py --dtype int8); int8_kv=True additionally quantizes the KV
+    cache per row (halves the cache traffic vs bf16)."""
     import dataclasses
 
     from video_tokenizer_tpu.models.larp_ar import (
@@ -97,13 +148,15 @@ def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
     if int8:
         model = LARP_AR(dataclasses.replace(cfg, quantized=True))
         variables = {"params": quantize_params(variables["params"])}
+    cache_dtype = jnp.int8 if int8_kv else None
 
     key = jax.random.PRNGKey(1)
-    seq = generate(model, variables, cond, new_tokens, key, cfg_scale=1.5, top_k=100)
+    seq = generate(model, variables, cond, new_tokens, key, cfg_scale=1.5,
+                   top_k=100, cache_dtype=cache_dtype)
     int(seq.sum())  # force completion (block_until_ready is unreliable here)
     t0 = time.perf_counter()
     seq = generate(model, variables, cond, new_tokens, jax.random.PRNGKey(2),
-                   cfg_scale=1.5, top_k=100)
+                   cfg_scale=1.5, top_k=100, cache_dtype=cache_dtype)
     int(seq.sum())
     dt = time.perf_counter() - t0
     return batch_size * new_tokens / dt
@@ -135,12 +188,33 @@ def main():
             baseline = json.load(f)["clips_per_s"]
 
     clips_s = bench_tokenizer(batch_size=args.batch_size, iters=args.iters)
-    extras = {}
+    flops_clip = tokenizer_flops_per_clip()
+    achieved_tflops = clips_s * flops_clip / 1e12
+    extras = {
+        "tflops_per_clip": round(flops_clip / 1e12, 3),
+        "achieved_tflops": round(achieved_tflops, 1),
+        "mfu_vs_v5e_peak": round(achieved_tflops / V5E_BF16_TFLOPS, 3),
+    }
     if not args.skip_ar:
+        # bench geometry: emit batch 8, cfg_scale 1.5 doubles cache rows to
+        # 16; avg live prefix over 1024 steps ~= 512
+        def hbm_util(tok_s, wbytes):
+            bpt = ar_decode_bytes_per_token(8, 16, 512.0, wbytes)
+            return round(tok_s * bpt / 1e9, 1)
+
         try:
-            extras["ar_tokens_per_s"] = round(bench_ar_sampling(), 1)
-            extras["ar_tokens_per_s_int8"] = round(
-                bench_ar_sampling(int8=True), 1
+            tok_s = bench_ar_sampling()
+            extras["ar_tokens_per_s"] = round(tok_s, 1)
+            extras["ar_hbm_gbps"] = hbm_util(tok_s, 2.0)
+            tok_s8 = bench_ar_sampling(int8=True)
+            extras["ar_tokens_per_s_int8"] = round(tok_s8, 1)
+            extras["ar_hbm_gbps_int8"] = hbm_util(tok_s8, 1.0)
+            tok_s8kv = bench_ar_sampling(int8=True, int8_kv=True)
+            extras["ar_tokens_per_s_int8_kv"] = round(tok_s8kv, 1)
+            extras["ar_hbm_gbps_int8_kv"] = round(
+                tok_s8kv * ar_decode_bytes_per_token(
+                    8, 16, 512.0, 1.0, cache_bytes_per_elem=1.0
+                ) / 1e9, 1,
             )
         except Exception as e:
             extras["ar_tokens_per_s_error"] = str(e)
