@@ -117,6 +117,45 @@ class TestVideoTransform:
         assert out.shape == (3, 2, 8, 8)
 
 
+class TestRandAugment:
+    def test_clip_consistent_and_shape(self):
+        """One op chain per clip: identical frames stay identical after the
+        augment (torchvision applies the same sampled ops to the whole
+        batched [T, C, H, W] tensor — reference video_dataset.py:342-343)."""
+        from video_tokenizer_tpu.data.rand_augment import RandAugmentVideo
+
+        aug = RandAugmentVideo.from_string("2_9_31")
+        frame = np.random.RandomState(0).randint(0, 256, (24, 32, 3), np.uint8)
+        clip = np.stack([frame] * 4)
+        out = aug(clip, np.random.RandomState(1))
+        assert out.shape == clip.shape and out.dtype == np.uint8
+        for t in range(1, 4):
+            assert np.array_equal(out[0], out[t])
+
+    def test_magnitude_zero_identityish_ops(self):
+        """magnitude index 0 makes every signed op a no-op, so only
+        Posterize(8)/Solarize(255)/AutoContrast/Equalize can change pixels;
+        geometry is always preserved."""
+        from video_tokenizer_tpu.data.rand_augment import RandAugmentVideo
+
+        aug = RandAugmentVideo(num_ops=2, magnitude=0, num_magnitude_bins=31)
+        clip = np.random.RandomState(0).randint(0, 256, (2, 16, 16, 3), np.uint8)
+        out = aug(clip, np.random.RandomState(2))
+        assert out.shape == clip.shape
+
+    def test_dataset_accepts_rand_augment_knob(self):
+        """Golden-shape test through the dataset with the knob on (the
+        round-1 build assert-rejected it)."""
+        ds = VideoDataset(
+            root_path="/tmp", frame_num=4, cls_vid_num="-1_-1",
+            crop_size=16, csv_file="null128", split="train",
+            rand_augment="2_9_31",
+        )
+        item = ds[0]
+        assert item["gt"].shape == (3, 4, 16, 16)
+        assert item["gt"].dtype == np.uint8
+
+
 class TestCommonUtils:
     def test_repeat_to_m_frames_pads_with_last(self):
         import jax.numpy as jnp

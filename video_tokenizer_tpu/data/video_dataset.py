@@ -222,7 +222,13 @@ class VideoDataset:
         self.action2label = None
         self.vid2label: Dict[str, int] = {}
         self.label_count = None
-        assert rand_augment in ("no", ""), "RandAugment not implemented yet"
+        if rand_augment in ("no", ""):
+            self.augment = None
+        else:
+            # '<num_ops>_<magnitude>_<bins>' (reference video_dataset.py:169)
+            from .rand_augment import RandAugmentVideo
+
+            self.augment = RandAugmentVideo.from_string(rand_augment)
 
         self.cur_tfm = VideoTransform(
             crop_size=crop_size, scale=scale, ratio=aspect_ratio,
@@ -386,6 +392,10 @@ class VideoDataset:
             (self.seed * 1_000_003 + idx) % (2**31 - 1)
         ) if self.split != "train" else np.random.RandomState()
         frames, path = self._load_raw(idx, rng)  # uint8 [T, H, W, 3]
+        if self.augment is not None:
+            # on the raw uint8 clip BEFORE crop/resize, one op chain per
+            # clip (reference video_dataset.py:342-343)
+            frames = self.augment(frames, rng)
         T, H, W, _ = frames.shape
         top, left, ch, cw = self.cur_tfm.compute_window(H, W, rng)
         video = fused_window_to_chw(
