@@ -30,6 +30,8 @@ CASES = [
     ("cosmos", {"base_channels": 8, "latent_dim": 16, "codebook_size": 64}, (1, 3, 9, 32, 32)),
     ("cosmos_fsq", {"base_channels": 8, "latent_dim": 16}, (1, 3, 9, 32, 32)),
     ("autoencoder_cnnvit", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 16, "cnn_ch": 8}, (1, 3, 16, 32, 32)),
+    ("autoencoder_cnnvit_softalign", {"model_size": "tiny", "num_latent_tokens": 8, "input_size": 32, "frame_num": 16, "cnn_ch": 8, "align_num_prototypes": 4, "align_pca_rank": 2, "teacher_dim": 32, "teacher_depth": 1, "teacher_heads": 4, "vjepa2_img_size": 32, "vjepa2_num_frames": 16, "vjepa2_patch_size": 8, "vjepa2_tubelet_size": 2}, (1, 3, 16, 32, 32)),
+    ("autoencoder_cnnvit_resnaf", {"model_size": "tiny", "input_size": 32, "frame_num": 16}, (1, 3, 16, 32, 32)),
     ("larp_tokenizer_vfm_noquant", {**TINY_TEACHER, "decoder_hidden_size": 32, "dec_depth": 1, "dec_heads": 4}, (1, 3, 8, 32, 32)),
     ("autoencoder_vfm", {**TINY_TEACHER, "model_size": "tiny", "num_latent_tokens": 4, "pixel_dec_width": 32, "pixel_dec_depth": 1, "pixel_dec_heads": 4}, (1, 3, 8, 32, 32)),
 ]

@@ -15,8 +15,11 @@ Re-expresses `/root/reference/models/model_cnnvit/` (and its duplicate under
     or Gram+VICReg pooled alignment (sem.py utilities).
 
 Registered: autoencoder_cnnvit, autoencoder_cnnvit_align,
-autoencoder_cnnvit_align1, autoencoder_cnnvit_softalign_gramonly_vjepa2,
-autoencoder_cnnvit_softalign_gram_vic_vjepa2.
+autoencoder_cnnvit_align1, autoencoder_cnnvit_softalign,
+autoencoder_cnnvit_softalign_gramonly_vjepa2,
+autoencoder_cnnvit_softalign_gram_vic_vjepa2, autoencoder_cnnvit_resnaf.
+Also: ResNAF / PEG3D attention-free blocks (base/resnaf_blocks.py:9-141 —
+dead code in the reference, runnable here).
 """
 from __future__ import annotations
 
@@ -31,7 +34,9 @@ from ..ops.rope import mrope_cos_sin
 from ..registry import models
 from .fsq import FSQ
 from .model_new import RoPEBlockStack, get_model_dims, _trunc02
-from .sem import SoftKMeans, vicreg_pooled_loss
+from .sem import (
+    SoftKMeans, gram_matrix, subspace_alignment_loss, vicreg_pooled_loss,
+)
 from .vfm import IMAGENET_MEAN, IMAGENET_STD, VJEPA2TeacherViT
 
 # internal conv layout: [B, T, H, W, C]
@@ -122,6 +127,163 @@ class DecoderCNN(nn.Module):
         return nn.Conv(self.out_channels, (3, 3, 3), padding=1, name="conv_out")(h)
 
 
+class PEG3D(nn.Module):
+    """Depthwise 3x3x3 positional conv on the token grid
+    (reference model_cnnvit/base/resnaf_blocks.py:9-24)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # [B, T, H, W, C]
+        dim = x.shape[-1]
+        return nn.Conv(
+            dim, (3, 3, 3), padding=1, feature_group_count=dim,
+            name="ds_conv",
+        )(x)
+
+
+class GEGLUFeedForward(nn.Module):
+    """LN -> Dense(2*inner, no bias) -> gelu(gate)*value -> Dense(dim)
+    (reference resnaf_blocks.py:27-40; inner = 2/3 * mult * dim, value is
+    the FIRST chunk and gate the second, per its GEGLU.forward)."""
+
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        inner = int(self.mlp_ratio * (2.0 / 3.0) * dim)
+        h = nn.LayerNorm(name="norm")(x)
+        h = nn.Dense(inner * 2, use_bias=False, name="proj_in")(h)
+        val, gate = jnp.split(h, 2, axis=-1)
+        h = nn.gelu(gate) * val
+        return nn.Dense(dim, use_bias=False, name="proj_out")(h)
+
+
+class ResNAF(nn.Module):
+    """Attention-free residual stack: per layer x += PEG3D(x); x += ffd(x)
+    (reference resnaf_blocks.py:43-61). Convolutional token mixing only —
+    no attention, so cost is linear in the token count."""
+
+    num_layer: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # [B, T, H, W, C]
+        for i in range(self.num_layer):
+            x = x + PEG3D(name=f"peg{i}")(x)
+            x = x + GEGLUFeedForward(self.mlp_ratio, name=f"ffd{i}")(x)
+        return x
+
+
+class ResNAFAutoEncoder(nn.Module):
+    """Patchify -> ResNAF -> FSQ -> ResNAF -> unpatchify autoencoder.
+
+    Mirrors the Encoder/Decoder pair in reference resnaf_blocks.py:64-141
+    (linear patch embed, ResNAF trunk, linear head). NOTE: in the reference
+    these blocks are dead code — every import of them is commented out and
+    no registry name instantiates them — so the `autoencoder_cnnvit_resnaf`
+    registration here is a completeness affordance, not a parity name.
+    The latent grid IS the patch grid (frame_num/pt, size/ph, size/pw);
+    there are no separate latent tokens.
+    """
+
+    model_size: str = "tiny"
+    patch_size: Tuple[int, int, int] = (4, 8, 8)
+    fsq_levels: tuple = (8, 8, 8, 5, 5, 5)
+    input_size: int = 128
+    frame_num: int = 16
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None  # unused (no attention); API parity
+    bottleneck: Any = None
+    prior_model: Any = None
+
+    @property
+    def grid(self):
+        pt, ph, pw = self.patch_size
+        return (
+            self.frame_num // pt, self.input_size // ph,
+            self.input_size // pw,
+        )
+
+    @property
+    def bottleneck_token_num(self) -> int:
+        return int(np.prod(self.grid))
+
+    @property
+    def codebook_size(self) -> int:
+        return int(np.prod(self.fsq_levels))
+
+    def setup(self):
+        width, depth, _, mlp_ratio = get_model_dims(self.model_size)
+        self._width = width
+        self.enc_proj_in = nn.Dense(
+            width, kernel_init=_trunc02, name="enc_proj_in"
+        )
+        self.enc_blocks = ResNAF(depth, mlp_ratio, name="enc_blocks")
+        self.enc_proj_out = nn.Dense(
+            len(self.fsq_levels), kernel_init=_trunc02, name="enc_proj_out"
+        )
+        self.quantize = FSQ(self.fsq_levels)
+        self.dec_proj_in = nn.Dense(
+            width, kernel_init=_trunc02, name="dec_proj_in"
+        )
+        self.dec_blocks = ResNAF(depth, mlp_ratio, name="dec_blocks")
+        pt, ph, pw = self.patch_size
+        self.dec_proj_out = nn.Dense(
+            self.in_channels * pt * ph * pw, kernel_init=_trunc02,
+            name="dec_proj_out",
+        )
+
+    def _patchify(self, x):  # [B, C, T, H, W] -> [B, t, h, w, (pt ph pw c)]
+        B, C, T, H, W = x.shape
+        pt, ph, pw = self.patch_size
+        x = x.reshape(B, C, T // pt, pt, H // ph, ph, W // pw, pw)
+        x = x.transpose(0, 2, 4, 6, 3, 5, 7, 1)
+        return x.reshape(B, T // pt, H // ph, W // pw, pt * ph * pw * C)
+
+    def _unpatchify(self, x):  # inverse of _patchify
+        B, t, h, w, _ = x.shape
+        pt, ph, pw = self.patch_size
+        x = x.reshape(B, t, h, w, pt, ph, pw, self.in_channels)
+        x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
+        return x.reshape(B, self.in_channels, t * pt, h * ph, w * pw)
+
+    def encode(self, x, train: bool = False) -> Dict[str, Any]:
+        h = self._patchify(x.astype(self.dtype))
+        h = self.enc_proj_in(h)
+        h = self.enc_blocks(h)
+        z = self.enc_proj_out(h.astype(jnp.float32))
+        B = z.shape[0]
+        z_tok = z.reshape(B, -1, len(self.fsq_levels))
+        x_q, info = self.quantize(z_tok)
+        return {
+            "encoded": x_q,
+            "bottleneck_rep": info["indices"],
+            "loss_q": jnp.asarray(0.0),
+        }
+
+    def decode(self, x_q):
+        B = x_q.shape[0]
+        t, h, w = self.grid
+        g = self.dec_proj_in(x_q.astype(self.dtype)).reshape(
+            B, t, h, w, self._width
+        )
+        g = self.dec_blocks(g)
+        return self._unpatchify(self.dec_proj_out(g.astype(jnp.float32)))
+
+    def decode_from_bottleneck(self, indices):
+        return self.decode(
+            self.quantize.indices_to_codes(indices).astype(jnp.float32)
+        )
+
+    decode_indices = decode_from_bottleneck
+
+    def __call__(self, data, train: bool = False) -> Dict[str, Any]:
+        enc = self.encode(data, train=train)
+        pred = self.decode(enc["encoded"])
+        return {"pred_frames": pred, **enc}
+
+
 class CNNViTAutoEncoder(nn.Module):
     model_size: str = "base_thin"
     fsq_levels: tuple = (8, 8, 8, 5, 5, 5)
@@ -130,7 +292,8 @@ class CNNViTAutoEncoder(nn.Module):
     frame_num: int = 16
     in_channels: int = 3
     cnn_ch: int = 32
-    align: str = "none"  # 'none' | 'gram' | 'gram_vic'
+    align: str = "none"  # 'none' | 'gram' | 'gram_vic' | 'softalign'
+    align_pca_rank: int = 32
     teacher_dim: int = 1024
     teacher_depth: int = 8
     teacher_heads: int = 16
@@ -282,15 +445,41 @@ class CNNViTAutoEncoder(nn.Module):
                 else jax.random.PRNGKey(0)
             )
             r1, r2 = jax.random.split(rng)
-            s_proto = self.align_pool(student, r1)
-            t_proto = self.align_pool(teacher_feats, r2)
-            gram_loss = jnp.mean((s_proto - t_proto) ** 2)
-            align_loss = gram_loss
-            out["gram_loss"] = gram_loss
-            if self.align == "gram_vic":
-                vic, vic_info = vicreg_pooled_loss(student, teacher_feats)
-                align_loss = align_loss + 0.01 * vic
-                out.update(vic_info)
+            if self.align == "softalign":
+                # commented-out reference variant
+                # (model_cnnvit/autoencoder.py:600-760): L2-normalize tokens
+                # before prototype pooling, align the prototype Gram
+                # matrices, and add a PCA principal-subspace constraint
+                # (gram_weight 1.0, pca_weight 0.2, rank 32 per its
+                # defaults).
+                def _norm(t):
+                    return t / (
+                        jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-6
+                    )
+
+                s_proto = self.align_pool(_norm(student), r1)
+                t_proto = self.align_pool(_norm(teacher_feats), r2)
+                gram_loss = jnp.mean(
+                    (gram_matrix(s_proto) - gram_matrix(t_proto)) ** 2
+                )
+                pca_loss = subspace_alignment_loss(
+                    s_proto, t_proto, r=self.align_pca_rank
+                )
+                align_loss = gram_loss + 0.2 * pca_loss
+                out["gram_loss"] = gram_loss
+                out["pca_loss"] = pca_loss
+            else:
+                s_proto = self.align_pool(student, r1)
+                t_proto = self.align_pool(teacher_feats, r2)
+                gram_loss = jnp.mean((s_proto - t_proto) ** 2)
+                align_loss = gram_loss
+                out["gram_loss"] = gram_loss
+                if self.align == "gram_vic":
+                    vic, vic_info = vicreg_pooled_loss(
+                        student, teacher_feats
+                    )
+                    align_loss = align_loss + 0.01 * vic
+                    out.update(vic_info)
             out["align_loss"] = align_loss
         return out
 
@@ -307,10 +496,30 @@ def _cnnvit_factory(align="none", **kw):
     return factory
 
 
+def _resnaf_factory(**kw):
+    fields = set(ResNAFAutoEncoder.__dataclass_fields__)
+
+    def factory(**overrides):
+        args = dict(kw)
+        args.update({k: v for k, v in overrides.items() if k in fields})
+        return ResNAFAutoEncoder(**args)
+
+    return factory
+
+
 models.update({
     "autoencoder_cnnvit": _cnnvit_factory("none"),
     "autoencoder_cnnvit_align": _cnnvit_factory("gram"),
     "autoencoder_cnnvit_align1": _cnnvit_factory("gram"),
+    # reference registration is commented out
+    # (model_cnnvit/autoencoder.py:640); registered here with its documented
+    # config: small_thin trunk, Gram + PCA-subspace alignment.
+    "autoencoder_cnnvit_softalign": _cnnvit_factory(
+        "softalign", model_size="small_thin"
+    ),
     "autoencoder_cnnvit_softalign_gramonly_vjepa2": _cnnvit_factory("gram"),
     "autoencoder_cnnvit_softalign_gram_vic_vjepa2": _cnnvit_factory("gram_vic"),
+    # ResNAF blocks are dead code in the reference (resnaf_blocks.py is
+    # never imported uncommented); exposed here as a runnable family.
+    "autoencoder_cnnvit_resnaf": _resnaf_factory(),
 })

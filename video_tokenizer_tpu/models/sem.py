@@ -64,6 +64,31 @@ def gram_matrix(tokens: jax.Array, normalize_tokens: bool = True, eps=1e-6):
     return jnp.einsum("bnd,bmd->bnm", tokens, tokens)
 
 
+def pca_subspace_basis(tokens: jax.Array, r: int = 32, center: bool = True):
+    """Top-r right-singular directions of each batch's token set.
+
+    tokens [B, K, D] -> basis [B, D, r] (orthonormal columns). Mirrors the
+    reference's SVD recipe (model_cnnvit/autoencoder.py:492-513, part of the
+    commented-out softalign variant).
+    """
+    x = tokens
+    if center:
+        x = x - jnp.mean(x, axis=1, keepdims=True)
+    _, _, vh = jnp.linalg.svd(x, full_matrices=False)  # vh [B, min(K,D), D]
+    return jnp.swapaxes(vh[:, :r, :], 1, 2)
+
+
+def subspace_alignment_loss(u_tokens: jax.Array, v_tokens: jax.Array,
+                            r: int = 32) -> jax.Array:
+    """Principal-subspace similarity: r - ||Bu^T Bv||_F^2, batch-averaged
+    (reference model_cnnvit/autoencoder.py:516-527). Zero when the two
+    r-dim subspaces coincide."""
+    bu = pca_subspace_basis(u_tokens, r=r)
+    bv = pca_subspace_basis(v_tokens, r=r)
+    m = jnp.einsum("bdr,bds->brs", bu, bv)
+    return jnp.mean(m.shape[1] - jnp.sum(m**2, axis=(1, 2)))
+
+
 def off_diagonal(x: jax.Array) -> jax.Array:
     n = x.shape[0]
     return x.reshape(-1)[:-1].reshape(n - 1, n + 1)[:, 1:].reshape(-1)
