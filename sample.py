@@ -36,7 +36,7 @@ from video_tokenizer_tpu.generation import generate
 from video_tokenizer_tpu.metrics.fvd import FeatureStats, FVDCalculator
 from video_tokenizer_tpu.registry import datasets
 from video_tokenizer_tpu.utils.common import video_to_float
-from video_tokenizer_tpu.utils.model_io import load_model_from_checkpoint
+from video_tokenizer_tpu.utils.model_io import load_model_pretrained
 
 
 def write_video_mp4(video_chw: np.ndarray, path: str, fps: int = 25):
@@ -336,7 +336,8 @@ def main():
                          "either way.")
     args = ap.parse_args()
 
-    ar_model, ar_params = load_model_from_checkpoint(args.ar_model, args.ar_version)
+    # local checkpoint dir or hub id (reference sample.py:404-415)
+    ar_model, ar_params = load_model_pretrained(args.ar_model, args.ar_version)
     if args.dtype in ("bfloat16", "int8"):
         ar_params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16)
@@ -348,7 +349,7 @@ def main():
         from video_tokenizer_tpu.models.larp_ar import LARP_AR, quantize_params
         ar_model = LARP_AR(_dc.replace(ar_model.config, quantized=True))
         ar_params = quantize_params(ar_params)
-    tokenizer, tok_params = load_model_from_checkpoint(
+    tokenizer, tok_params = load_model_pretrained(
         args.tokenizer, args.tokenizer_version
     )
     if args.frame_prediction != bool(ar_model.frame_prediction):

@@ -1,0 +1,87 @@
+"""from_pretrained hub-cache shim (reference sample.py:404-415,
+PyTorchModelHubMixin on larp_tokenizer.py:45 / larp_ar.py:233)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import video_tokenizer_tpu.models  # noqa: F401  (registry population)
+from video_tokenizer_tpu.utils import checkpoint as ckpt_lib
+from video_tokenizer_tpu.utils.model_io import (
+    HUB_CACHE_ENV,
+    load_model_from_checkpoint,
+    load_model_pretrained,
+    resolve_pretrained,
+)
+
+TINY_SPEC = {
+    "name": "larp_tokenizer",
+    "args": {
+        "bottleneck_token_num": 4,
+        "input_size": 32,
+        "frame_num": 8,
+        "encoder_hidden_size": 32,
+        "decoder_hidden_size": 32,
+        "encoder_num_heads": 4,
+        "decoder_num_heads": 4,
+        "encoder_depth": 1,
+        "decoder_depth": 1,
+        "bottleneck": {"name": "bottleneck", "args": {
+            "bottleneck_dim": 8, "regularizer": {"name": "vq", "args": {
+                "codebook_size": 16}}}},
+        "prior_model": None,
+    },
+}
+
+
+def _save_tiny_checkpoint(path):
+    from video_tokenizer_tpu import registry
+
+    model = registry.models.make(TINY_SPEC)
+    x = jnp.zeros((1, 3, 8, 32, 32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)}, x
+    )
+    ckpt_lib.save_checkpoint(
+        str(path), {"params": variables["params"]}, meta={"model": TINY_SPEC}
+    )
+
+
+class TestFromPretrained:
+    def test_local_path_passthrough(self, tmp_path):
+        ck = tmp_path / "local_ck"
+        _save_tiny_checkpoint(ck)
+        assert resolve_pretrained(str(ck)) == str(ck)
+        model, params = load_model_pretrained(str(ck))
+        assert model.bottleneck_token_num == 4
+
+    def test_hub_id_resolves_via_cache(self, tmp_path, monkeypatch):
+        cache = tmp_path / "hub"
+        _save_tiny_checkpoint(cache / "org--tiny-tokenizer")
+        monkeypatch.setenv(HUB_CACHE_ENV, str(cache))
+        model, params = load_model_pretrained("org/tiny-tokenizer")
+        ref_model, ref_params = load_model_from_checkpoint(
+            str(cache / "org--tiny-tokenizer")
+        )
+        assert model.bottleneck_token_num == ref_model.bottleneck_token_num
+        a = jax.tree_util.tree_leaves(params)
+        b = jax.tree_util.tree_leaves(ref_params)
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    def test_classmethod_entry(self, tmp_path, monkeypatch):
+        from video_tokenizer_tpu.models.larp_tokenizer import LARPTokenizer
+
+        cache = tmp_path / "hub"
+        _save_tiny_checkpoint(cache / "org--tok")
+        monkeypatch.setenv(HUB_CACHE_ENV, str(cache))
+        model, params = LARPTokenizer.from_pretrained("org/tok")
+        out = model.apply(
+            {"params": params}, jnp.zeros((1, 3, 8, 32, 32)),
+            rngs={"vq": jax.random.PRNGKey(0)},
+        )
+        assert out["pred_frames"].shape == (1, 3, 8, 32, 32)
+
+    def test_offline_miss_is_clear(self, tmp_path, monkeypatch):
+        monkeypatch.setenv(HUB_CACHE_ENV, str(tmp_path / "empty"))
+        with pytest.raises(FileNotFoundError, match="network egress"):
+            resolve_pretrained("org/absent-model")

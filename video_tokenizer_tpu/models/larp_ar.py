@@ -326,6 +326,17 @@ class LARP_AR(nn.Module):
 
     config: ModelArgs
 
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, version: str = "sd"):
+        """Hub id or local checkpoint -> (module, params). Mirrors the
+        reference's PyTorchModelHubMixin.from_pretrained (larp_ar.py:233)
+        via the local converted-checkpoint cache (utils/model_io.py)."""
+        from ..utils.model_io import load_model_pretrained
+
+        return load_model_pretrained(name_or_path, version)
+
+    from_checkpoint = from_pretrained
+
     @property
     def cls_token_num(self) -> int:
         return self.config.cls_token_num

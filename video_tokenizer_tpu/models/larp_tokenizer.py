@@ -59,6 +59,18 @@ class OutputLayer(nn.Module):
 class LARPTokenizer(nn.Module):
     """Flagship video tokenizer. Video tensors are BCTHW in [0, 1]."""
 
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, version: str = "sd"):
+        """Hub id or local checkpoint -> (module, params). Mirrors the
+        reference's PyTorchModelHubMixin.from_pretrained
+        (larp_tokenizer.py:45) via the local converted-checkpoint cache
+        (utils/model_io.py)."""
+        from ..utils.model_io import load_model_pretrained
+
+        return load_model_pretrained(name_or_path, version)
+
+    from_checkpoint = from_pretrained
+
     bottleneck: Optional[Dict[str, Any]] = None
     prior_model: Optional[Dict[str, Any]] = None
     bottleneck_token_num: int = 1024

@@ -78,6 +78,14 @@ class _ARTrainerBase(BaseTrainer):
     def _load_vae(self):
         vae_cfg = self.cfg["vae"]
         ckpt_path = str(vae_cfg.get("checkpoint", "")).strip("'\"")
+        if ckpt_path and not ckpt_lib.checkpoint_exists(ckpt_path):
+            # hub-id fallback (reference larp_ar_trainer loads the frozen
+            # tokenizer via from_pretrained when the path is not local)
+            from ..utils.model_io import hub_cache_dir
+
+            cand = hub_cache_dir() / ckpt_path.replace("/", "--")
+            if ckpt_lib.checkpoint_exists(str(cand)):
+                ckpt_path = str(cand)
         if ckpt_path and ckpt_lib.checkpoint_exists(ckpt_path):
             meta = ckpt_lib.load_meta(ckpt_path)
             model_spec = meta["model"] if "model" in meta else meta["cfg"]["model"]
