@@ -1,0 +1,334 @@
+"""Cross-framework training-dynamics parity harness.
+
+Runs the ACTUAL reference trainer
+(`/root/reference/trainers/larp_tokenizer_trainer.py`, torch-CPU, via the
+offline stubs in tools/ref_parity/stubs) for N steps on the fake `null128`
+dataset, then runs THIS framework's `larp_tokenizer_trainer` from the SAME
+initial weights (through tools/convert_reference_tokenizer.py) on the SAME
+recorded batches, and compares the per-step loss trajectories.
+
+Why this shape: seeds cannot make two frameworks draw identical init or
+identical shuffles, so instead the reference run *records* its batches and
+exports its init state dict; our run consumes both. With identical weights,
+identical data, matched hyperparameters (Adam(0.5, 0.9), lr 1e-4 constant,
+GAN gated off, perceptual off, deterministic VQ), the two loss curves must
+agree to float tolerance — this checks the full train path (forward, VQ
+straight-through, backward, Adam update) rather than just leaf-exact weight
+conversion.
+
+Usage:
+    python tools/reference_parity.py all  [--steps 12] [--out DIR]
+    # or the phases separately: ref | ours | compare
+
+Each phase runs in its own interpreter (the reference needs its own
+sys.path/sys.modules world). `ours` forces
+jax_default_matmul_precision=highest: XLA:CPU's default onednn matmul path
+computes fp32 GEMMs in reduced precision (~1e-2 abs drift per layer), which
+would swamp the comparison.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+SEED = 0
+BATCH = 4
+FRAMES = 8
+SIZE = 32
+
+# shared tiny geometry (reference arg names; ours match)
+MODEL_ARGS = {
+    "bottleneck": {"name": "bottleneck", "args": {
+        "bottleneck_dim": 8, "norm": "none",
+        "regularizer": {"name": "vq", "args": {
+            "codebook_size": 64, "commitment_loss_weight": 0.25,
+            "codebook_loss_weight": 1.0, "entropy_loss_weight": 0.0,
+            "entropy_loss_temperature": 0.01, "l2_normalized": True,
+            "stochastic": False, "stochastic_temperature": 0.03}}}},
+    "bottleneck_token_num": 16,
+    "input_size": SIZE, "frame_num": FRAMES,
+    "temporal_patch_size": 4, "patch_size": 8,
+    "decoder_temporal_patch_size": 4, "decoder_patch_size": 8,
+    "in_channels": 3, "bottleneck_type": "vq", "train_type": "simple",
+    "transformer_name": "transformer_encoder_parallel",
+    "encoder_hidden_size": 64, "decoder_hidden_size": 64,
+    "encoder_num_heads": 4, "decoder_num_heads": 4,
+    "encoder_depth": 2, "decoder_depth": 2,
+}
+
+# GAN fully gated off; perceptual weight 0 (reference loss arg names)
+REF_LOSS_ARGS = {
+    "disc_type": "transformer", "disc_start": 10**9,
+    "disc_self_start": 10**9, "pixelloss_weight": 1.0,
+    "perceptual_weight": 0.0, "pixel_loss": "l1",
+    "perceptual_loss": "lpips", "perceptual_fp16": False,
+    "lecam_weight": 0.001, "disc_loss": "ns_smooth", "disc_weight": 0.3,
+    "r1_gp_weight": 0.0, "d_update_freq": 1, "spectral_norm": False,
+    "disc_tran_hidden_size": 64, "disc_tran_n_heads": 4,
+    "disc_tran_n_layers": 1, "disc_tran_temporal_patch_size": 4,
+    "disc_tran_patch_size": 8, "input_spatial_size": SIZE,
+    "frame_num": FRAMES,
+}
+
+OPTIMIZER = {
+    "name": "adam", "loss_name": "adam",
+    "args": {"lr": 1.0e-4, "betas": [0.5, 0.9]},
+    "loss_args": {"lr": 1.0e-4, "betas": [0.5, 0.9]},
+    "lr_type": "step", "lr_step_pcts": "0.9_0.95", "warmup_epoch": 1,
+    "min_lr_mult": 0.1, "prior_lr_mult": 1.0, "emb_lr_mult": 1.0,
+}
+
+TRAIN_KEYS = {
+    "loss_q_warmup": "1.0_1", "loss_q_weight": 1.0, "loss_kl_weight": 0.0,
+    "clip_grad_max_norm": 0.0, "ema_decay": "_", "use_amp": False,
+    "max_epoch": 2,
+}
+
+# per-step scalars compared (same key names on both sides)
+COMPARED = ["loss", "rec_loss", "loss_q", "loss_commit", "psnr"]
+
+
+def dataset_args():
+    return {
+        "root_path": "", "split": "train", "frame_num": FRAMES,
+        "rand_augment": "no", "csv_file": "null128",
+        "cls_vid_num": "-1_-1", "crop_size": SIZE, "scale": 1.0,
+        "aspect_ratio": 1.0, "rand_flip": "no", "use_all_frames": False,
+        "pre_load": False,
+    }
+
+
+# --------------------------------------------------------------------- ref
+
+
+def run_ref(out: str, steps: int):
+    sys.path.insert(0, os.path.join(HERE, "ref_parity"))
+    import refenv
+
+    refenv.setup()
+    import numpy as np
+    import torch
+
+    torch.manual_seed(SEED)
+    np.random.seed(SEED)
+
+    import trainers
+    import trainers.base_trainer as bt
+
+    bt.FVDCalculator = lambda *a, **k: None  # offline: no i3d_torchscript.pt
+
+    save_dir = os.path.join(out, "ref_run")
+    cfg = {
+        "trainer": "larp_tokenizer_trainer",
+        "env": {"tot_gpus": 1, "port": 0, "cudnn": False,
+                "save_dir": save_dir},
+        "train_dataset": {
+            "name": "video_dataset",
+            "args": {**dataset_args(), "root_path": os.path.join(out, "d")},
+            "loader": {"batch_size": BATCH, "num_workers": 0},
+        },
+        "model": {"name": "larp_tokenizer", "args": {
+            **MODEL_ARGS,
+            "prior_model": {"name": "none", "args": {}},
+        }},
+        "loss": {"name": "lpips_disc_loss", "args": dict(REF_LOSS_ARGS)},
+        "optimizer": dict(OPTIMIZER),
+        "compile": False, "compile_mode": "default",
+        "stepwise_logging": False,
+        **TRAIN_KEYS,
+    }
+    os.makedirs(save_dir, exist_ok=True)
+
+    t = trainers.trainers_dict[cfg["trainer"]](0, cfg)
+    t.make_datasets()
+    t.starting_epoch, t.global_step = 1, 0
+    t.make_model()
+    t.make_loss()
+    t.configure_optimizers(cfg["optimizer"])
+    t.configure_scalers()
+
+    init_sd = {k: v.detach().cpu().numpy()
+               for k, v in t.orig_model.state_dict().items()}
+    np.savez(os.path.join(out, "init_sd.npz"), **init_sd)
+
+    t.n_steps_per_epoch = len(t.train_loader)
+    t.max_steps = t.n_steps_per_epoch * cfg["max_epoch"]
+
+    batches, infos = [], []
+    done = False
+    for epoch in range(1, cfg["max_epoch"] + 1):
+        if done:
+            break
+        t.epoch = epoch
+        t.global_step = (epoch - 1) * t.n_steps_per_epoch
+        t.model_ddp.train()
+        for data in t.train_loader:
+            t.global_step += 1
+            t.adjust_learning_rate_stepwise()
+            batches.append(np.asarray(data["gt"].cpu().numpy()))
+            ret = t.train_step(data)
+            infos.append({"epoch": epoch,
+                          **{k: float(v) for k, v in ret.items()
+                             if isinstance(v, (int, float))}})
+            if len(infos) >= steps:
+                done = True
+                break
+
+    np.savez(os.path.join(out, "batches.npz"),
+             **{f"b{i}": b for i, b in enumerate(batches)})
+    with open(os.path.join(out, "ref_info.json"), "w") as f:
+        json.dump(infos, f, indent=1)
+    print(f"[ref] {len(infos)} steps recorded -> {out}")
+    for i, r in enumerate(infos):
+        print(f"[ref] step {i}: loss={r['loss']:.6f} "
+              f"loss_q={r.get('loss_q', float('nan')):.6f} "
+              f"psnr={r.get('psnr', float('nan')):.4f}")
+
+
+# -------------------------------------------------------------------- ours
+
+
+def run_ours(out: str, steps: int):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, HERE)
+    from convert_reference_tokenizer import convert_larp_tokenizer
+
+    import video_tokenizer_tpu.models  # noqa: F401
+    import video_tokenizer_tpu.data.video_dataset  # noqa: F401
+    import video_tokenizer_tpu.trainers  # noqa: F401
+    from video_tokenizer_tpu import registry
+
+    save_dir = os.path.join(out, "ours_run")
+    cfg = {
+        "trainer": "larp_tokenizer_trainer",
+        "save_dir": save_dir, "manualSeed": SEED,
+        "train_dataset": {
+            "name": "video_dataset",
+            "args": dataset_args(),
+            "loader": {"batch_size": BATCH, "num_workers": 0},
+        },
+        "model": {"name": "larp_tokenizer",
+                  "args": {**MODEL_ARGS, "prior_model": None}},
+        # our loss arg names (video_tokenizer_tpu/models/loss.py)
+        "loss": {"name": "lpips_disc_loss", "args": {
+            "disc_start": 10**9, "disc_self_start": 10**9,
+            "pixel_weight": 1.0, "perceptual_weight": 0.0,
+            "pixel_loss": "l1", "lecam_weight": 0.001,
+            "disc_loss": "ns_smooth", "disc_weight": 0.3,
+            "r1_gp_weight": 0.0, "d_update_freq": 1,
+            "disc_tran_hidden_size": 64, "disc_tran_n_heads": 4,
+            "disc_tran_n_layers": 1, "disc_tran_temporal_patch_size": 4,
+            "disc_tran_patch_size": 8, "input_spatial_size": SIZE,
+            "frame_num": FRAMES,
+        }},
+        "optimizer": dict(OPTIMIZER),
+        **TRAIN_KEYS,
+    }
+
+    t = registry.trainers.make({"name": cfg["trainer"]}, args={"cfg": cfg})
+    t.make_datasets()
+    t.make_model()
+
+    init_sd = dict(np.load(os.path.join(out, "init_sd.npz")))
+    converted = convert_larp_tokenizer(init_sd)
+    converted = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), converted
+    )
+    # graft the reference's init into the live state; Adam moments are fresh
+    # zeros on both sides, so only params need replacing.
+    import jax.numpy as jnp
+
+    t.state["params"] = jax.tree_util.tree_map(jnp.asarray, converted)
+
+    data = np.load(os.path.join(out, "batches.npz"))
+    n = len(data.files)
+    ref_infos = json.load(open(os.path.join(out, "ref_info.json")))
+    infos = []
+    for i in range(min(n, steps)):
+        t.epoch = int(ref_infos[i]["epoch"])
+        t.global_step += 1
+        keys, packed = t.train_step({"gt": data[f"b{i}"]})
+        infos.append(
+            {k: float(v) for k, v in zip(keys, np.asarray(packed).tolist())}
+        )
+    with open(os.path.join(out, "ours_info.json"), "w") as f:
+        json.dump(infos, f, indent=1)
+    print(f"[ours] {len(infos)} steps -> {out}")
+    for i, r in enumerate(infos):
+        print(f"[ours] step {i}: loss={r['loss']:.6f} "
+              f"loss_q={r.get('loss_q', float('nan')):.6f} "
+              f"psnr={r.get('psnr', float('nan')):.4f}")
+
+
+# ----------------------------------------------------------------- compare
+
+
+def run_compare(out: str, rtol: float):
+    ref = json.load(open(os.path.join(out, "ref_info.json")))
+    ours = json.load(open(os.path.join(out, "ours_info.json")))
+    n = min(len(ref), len(ours))
+    print(f"comparing {n} steps (rtol {rtol})")
+    worst = {}
+    ok = True
+    for k in COMPARED:
+        if k not in ref[0] or k not in ours[0]:
+            print(f"  [skip] {k} (missing on one side)")
+            continue
+        rel = []
+        for i in range(n):
+            a, b = ref[i][k], ours[i][k]
+            denom = max(abs(a), abs(b), 1e-6)
+            rel.append(abs(a - b) / denom)
+        worst[k] = max(rel)
+        line = " ".join(f"{r:.1e}" for r in rel)
+        status = "OK " if worst[k] <= rtol else "FAIL"
+        if worst[k] > rtol:
+            ok = False
+        print(f"  [{status}] {k:12s} worst rel {worst[k]:.2e}  per-step: {line}")
+    print(json.dumps({"parity_ok": ok, "steps": n, "worst_rel": worst}))
+    if not ok:
+        sys.exit(1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=["ref", "ours", "compare", "all"])
+    ap.add_argument("--out", default="/tmp/ref_parity")
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--rtol", type=float, default=0.02)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.phase == "ref":
+        run_ref(args.out, args.steps)
+    elif args.phase == "ours":
+        run_ours(args.out, args.steps)
+    elif args.phase == "compare":
+        run_compare(args.out, args.rtol)
+    else:
+        me = os.path.abspath(__file__)
+        for ph in ("ref", "ours"):
+            print(f"=== phase {ph} ===", flush=True)
+            subprocess.run(
+                [sys.executable, me, ph, "--out", args.out,
+                 "--steps", str(args.steps)],
+                check=True,
+            )
+        run_compare(args.out, args.rtol)
+
+
+if __name__ == "__main__":
+    main()
