@@ -92,6 +92,27 @@ TRAIN_KEYS = {
 
 # per-step scalars compared (same key names on both sides)
 COMPARED = ["loss", "rec_loss", "loss_q", "loss_commit", "psnr"]
+COMPARED_AR = ["loss"]
+
+# AR parity config: tiny llama-abs-S over the tiny tokenizer's 16-token /
+# 64-vocab code space. All dropout off (determinism); AdamW with real
+# weight decay to exercise the minGPT decay/no-decay split on both sides.
+AR_MODEL_ARGS = {
+    "num_classes": 101, "cls_token_num": 1, "token_dropout_p": 0.0,
+    "resid_dropout_p": 0.0, "ffn_dropout_p": 0.0, "attn_dropout_p": 0.0,
+    "class_dropout_prob": 0.0, "use_fixed_pe": False,
+}
+AR_OPTIMIZER = {
+    "name": "adamw",
+    "args": {"lr": 1.0e-4, "betas": [0.9, 0.95], "weight_decay": 0.05},
+    "lr_type": "step", "lr_step_pcts": "0.9_0.95", "warmup_epoch": 1,
+    "min_lr_mult": 0.01,
+}
+AR_SECTION = {
+    "num_samples": 8, "num_save_wandb": 0, "sample_batch_size": 4,
+    "cfg_scale": 1.0, "cfg_interval": -1, "temperature": 1.0,
+    "top_k": 0, "top_p": 1.0,
+}
 
 
 def dataset_args():
@@ -102,6 +123,190 @@ def dataset_args():
         "aspect_ratio": 1.0, "rand_flip": "no", "use_all_frames": False,
         "pre_load": False,
     }
+
+
+# ------------------------------------------------------------------ ref AR
+
+
+def run_ref_ar(out: str, steps: int):
+    sys.path.insert(0, os.path.join(HERE, "ref_parity"))
+    import refenv
+
+    refenv.setup()
+    import numpy as np
+    import torch
+
+    torch.manual_seed(SEED)
+    np.random.seed(SEED)
+
+    import models as ref_models
+    import trainers
+    import trainers.base_trainer as bt
+
+    bt.FVDCalculator = lambda *a, **k: None
+
+    # frozen tokenizer: build fresh (seeded), save in the reference's
+    # torch-checkpoint format for from_checkpoint AND as npz for our side.
+    vae_args = {**MODEL_ARGS, "prior_model": {"name": "none", "args": {}}}
+    vae = ref_models.make({"name": "larp_tokenizer", "args": vae_args})
+    vae_sd = vae.state_dict()
+    torch.save(
+        {"model": {"args": vae_args, "sd": vae_sd}},
+        os.path.join(out, "vae_ref.pth"),
+    )
+    np.savez(os.path.join(out, "vae_sd.npz"),
+             **{k: v.detach().cpu().numpy() for k, v in vae_sd.items()})
+
+    save_dir = os.path.join(out, "ref_ar_run")
+    cfg = {
+        "trainer": "larp_ar_trainer",
+        "env": {"tot_gpus": 1, "port": 0, "cudnn": False,
+                "save_dir": save_dir},
+        "train_dataset": {
+            "name": "video_dataset",
+            "args": {**dataset_args(), "root_path": os.path.join(out, "d")},
+            "loader": {"batch_size": BATCH, "num_workers": 0},
+        },
+        "model": {"name": "llama-abs-S", "args": dict(AR_MODEL_ARGS)},
+        "vae": {"name": "larp_tokenizer",
+                "checkpoint": os.path.join(out, "vae_ref.pth"),
+                "version": "sd", "eval_deterministic": True},
+        "ar": dict(AR_SECTION),
+        "optimizer": dict(AR_OPTIMIZER),
+        "compile": False, "compile_mode": "default",
+        "stepwise_logging": False, "vae_force_fp32": True,
+        **TRAIN_KEYS,
+    }
+    os.makedirs(save_dir, exist_ok=True)
+
+    t = trainers.trainers_dict[cfg["trainer"]](0, cfg)
+    t.make_datasets()
+    t.starting_epoch, t.global_step = 1, 0
+    t.make_model()
+    t.make_loss()
+    t.configure_optimizers(cfg["optimizer"])
+    t.configure_scalers()
+
+    np.savez(os.path.join(out, "init_ar_sd.npz"),
+             **{k: v.detach().cpu().numpy()
+                for k, v in t.orig_model.state_dict().items()})
+
+    t.n_steps_per_epoch = len(t.train_loader)
+    t.max_steps = t.n_steps_per_epoch * cfg["max_epoch"]
+
+    batches, infos = [], []
+    done = False
+    for epoch in range(1, cfg["max_epoch"] + 1):
+        if done:
+            break
+        t.epoch = epoch
+        t.global_step = (epoch - 1) * t.n_steps_per_epoch
+        t.model_ddp.train()
+        for data in t.train_loader:
+            t.global_step += 1
+            t.adjust_learning_rate_stepwise()
+            batches.append((np.asarray(data["gt"].cpu().numpy()),
+                            np.asarray(data["label"].cpu().numpy())))
+            ret = t.train_step(data)
+            infos.append({"epoch": epoch,
+                          **{k: float(v) for k, v in ret.items()
+                             if isinstance(v, (int, float))}})
+            if len(infos) >= steps:
+                done = True
+                break
+
+    np.savez(os.path.join(out, "batches_ar.npz"),
+             **{f"b{i}": b for i, (b, _) in enumerate(batches)},
+             **{f"l{i}": lb for i, (_, lb) in enumerate(batches)})
+    with open(os.path.join(out, "ref_ar_info.json"), "w") as f:
+        json.dump(infos, f, indent=1)
+    print(f"[ref-ar] {len(infos)} steps recorded -> {out}")
+    for i, r in enumerate(infos):
+        print(f"[ref-ar] step {i}: " + " ".join(
+            f"{k}={v:.6f}" for k, v in r.items() if k != "epoch"))
+
+
+# ----------------------------------------------------------------- ours AR
+
+
+def run_ours_ar(out: str, steps: int):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, HERE)
+    from convert_reference_tokenizer import (
+        convert_larp_ar, convert_larp_tokenizer,
+    )
+
+    import video_tokenizer_tpu.models  # noqa: F401
+    import video_tokenizer_tpu.data.video_dataset  # noqa: F401
+    import video_tokenizer_tpu.trainers  # noqa: F401
+    from video_tokenizer_tpu import registry
+    from video_tokenizer_tpu.utils import checkpoint as ckpt_lib
+
+    # converted frozen tokenizer -> our checkpoint format
+    vae_sd = dict(np.load(os.path.join(out, "vae_sd.npz")))
+    vae_params = convert_larp_tokenizer(vae_sd)
+    vae_spec = {"name": "larp_tokenizer",
+                "args": {**MODEL_ARGS, "prior_model": None}}
+    vae_ckpt = os.path.join(out, "vae_ours")
+    ckpt_lib.save_checkpoint(vae_ckpt, {"params": vae_params},
+                             meta={"model": vae_spec})
+
+    save_dir = os.path.join(out, "ours_ar_run")
+    cfg = {
+        "trainer": "larp_ar_trainer",
+        "save_dir": save_dir, "manualSeed": SEED,
+        "train_dataset": {
+            "name": "video_dataset",
+            "args": dataset_args(),
+            "loader": {"batch_size": BATCH, "num_workers": 0},
+        },
+        "model": {"name": "llama-abs-S", "args": dict(AR_MODEL_ARGS)},
+        "vae": {"name": "larp_tokenizer", "checkpoint": vae_ckpt,
+                "version": "sd", "eval_deterministic": True},
+        "ar": dict(AR_SECTION),
+        "optimizer": dict(AR_OPTIMIZER),
+        "vae_force_fp32": True,
+        **TRAIN_KEYS,
+    }
+
+    t = registry.trainers.make({"name": cfg["trainer"]}, args={"cfg": cfg})
+    t.make_datasets()
+    t.make_model()
+
+    init_sd = dict(np.load(os.path.join(out, "init_ar_sd.npz")))
+    converted = convert_larp_ar(init_sd)
+    import jax.numpy as jnp
+
+    t.state["params"] = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)), converted
+    )
+
+    data = np.load(os.path.join(out, "batches_ar.npz"))
+    n = sum(1 for k in data.files if k.startswith("b"))
+    ref_infos = json.load(open(os.path.join(out, "ref_ar_info.json")))
+    infos = []
+    for i in range(min(n, steps)):
+        t.epoch = int(ref_infos[i]["epoch"])
+        t.global_step += 1
+        keys, packed = t.train_step(
+            {"gt": data[f"b{i}"], "label": data[f"l{i}"]}
+        )
+        infos.append(
+            {k: float(v) for k, v in zip(keys, np.asarray(packed).tolist())}
+        )
+    with open(os.path.join(out, "ours_ar_info.json"), "w") as f:
+        json.dump(infos, f, indent=1)
+    print(f"[ours-ar] {len(infos)} steps -> {out}")
+    for i, r in enumerate(infos):
+        print(f"[ours-ar] step {i}: " + " ".join(
+            f"{k}={v:.6f}" for k, v in r.items()))
 
 
 # --------------------------------------------------------------------- ref
@@ -276,14 +481,16 @@ def run_ours(out: str, steps: int):
 # ----------------------------------------------------------------- compare
 
 
-def run_compare(out: str, rtol: float):
-    ref = json.load(open(os.path.join(out, "ref_info.json")))
-    ours = json.load(open(os.path.join(out, "ours_info.json")))
+def run_compare(out: str, rtol: float, trainer: str = "tokenizer"):
+    suffix = "_ar" if trainer == "ar" else ""
+    keys = COMPARED_AR if trainer == "ar" else COMPARED
+    ref = json.load(open(os.path.join(out, f"ref{suffix}_info.json")))
+    ours = json.load(open(os.path.join(out, f"ours{suffix}_info.json")))
     n = min(len(ref), len(ours))
-    print(f"comparing {n} steps (rtol {rtol})")
+    print(f"comparing {n} {trainer} steps (rtol {rtol})")
     worst = {}
     ok = True
-    for k in COMPARED:
+    for k in keys:
         if k not in ref[0] or k not in ours[0]:
             print(f"  [skip] {k} (missing on one side)")
             continue
@@ -309,25 +516,29 @@ def main():
     ap.add_argument("--out", default="/tmp/ref_parity")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--rtol", type=float, default=0.02)
+    ap.add_argument("--trainer", choices=["tokenizer", "ar"],
+                    default="tokenizer")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     if args.phase == "ref":
-        run_ref(args.out, args.steps)
+        (run_ref_ar if args.trainer == "ar" else run_ref)(
+            args.out, args.steps)
     elif args.phase == "ours":
-        run_ours(args.out, args.steps)
+        (run_ours_ar if args.trainer == "ar" else run_ours)(
+            args.out, args.steps)
     elif args.phase == "compare":
-        run_compare(args.out, args.rtol)
+        run_compare(args.out, args.rtol, args.trainer)
     else:
         me = os.path.abspath(__file__)
         for ph in ("ref", "ours"):
-            print(f"=== phase {ph} ===", flush=True)
+            print(f"=== phase {ph} ({args.trainer}) ===", flush=True)
             subprocess.run(
                 [sys.executable, me, ph, "--out", args.out,
-                 "--steps", str(args.steps)],
+                 "--steps", str(args.steps), "--trainer", args.trainer],
                 check=True,
             )
-        run_compare(args.out, args.rtol)
+        run_compare(args.out, args.rtol, args.trainer)
 
 
 if __name__ == "__main__":
