@@ -34,7 +34,11 @@ class TestTensorParallel:
         assert layer0["attention"]["wqkv"]["kernel"] == P(None, "model")
         assert layer0["attention"]["wo"]["kernel"] == P("model", None)
         assert layer0["feed_forward"]["w2"]["kernel"] == P("model", None)
-        assert specs["tok_embeddings"]["embedding"] == P()
+        # vocab parallel: embedding rows + head columns over 'model'
+        assert specs["tok_embeddings"]["embedding"] == P("model", None)
+        assert specs["output"]["kernel"] == P(None, "model")
+        # tiny class embedding stays replicated
+        assert specs["cls_embedding"]["embedding_table"]["embedding"] == P()
 
     def test_tp_loss_matches_replicated(self):
         model, variables, idx, cond, tgt = _model_and_data()
@@ -68,6 +72,42 @@ class TestTensorParallel:
         ref_leaf = g_ref["layers_0"]["attention"]["wqkv"]["kernel"]
         tp_leaf = g_tp["layers_0"]["attention"]["wqkv"]["kernel"]
         assert np.allclose(np.asarray(tp_leaf), np.asarray(ref_leaf), atol=1e-5)
+
+    def test_sequence_parallel_matches_replicated(self):
+        """SP (inter-block activations sharded over 'model' on the sequence
+        dim) must be numerically invisible: loss and grads == replicated."""
+        from video_tokenizer_tpu.parallel.tp import sequence_parallel
+
+        model, variables, idx, cond, tgt = _model_and_data()
+        _, loss_ref = model.apply(variables, idx, cond, targets=tgt)
+
+        def loss_fn(params):
+            _, loss = model.apply({"params": params}, idx, cond, targets=tgt)
+            return loss
+
+        g_ref = jax.grad(loss_fn)(variables["params"])
+
+        mesh = create_mesh(MeshConfig(data=4, model=2))
+        params_tp = shard_params_tp(variables["params"], mesh)
+        idx_s = jax.device_put(idx, NamedSharding(mesh, P("data", None)))
+        cond_s = jax.device_put(cond, NamedSharding(mesh, P("data")))
+        tgt_s = jax.device_put(tgt, NamedSharding(mesh, P("data", None)))
+
+        @jax.jit
+        def sp_loss_and_grad(params, idx, cond, tgt):
+            def f(p):
+                _, loss = model.apply({"params": p}, idx, cond, targets=tgt)
+                return loss
+
+            return jax.value_and_grad(f)(params)
+
+        with sequence_parallel(mesh):  # constraint baked at trace time
+            loss_sp, g_sp = sp_loss_and_grad(params_tp, idx_s, cond_s, tgt_s)
+        assert np.allclose(float(loss_sp), float(loss_ref), rtol=1e-5)
+        ref_leaf = g_ref["layers_0"]["attention"]["wqkv"]["kernel"]
+        sp_leaf = g_sp["layers_0"]["attention"]["wqkv"]["kernel"]
+        assert np.allclose(np.asarray(sp_leaf), np.asarray(ref_leaf),
+                           atol=1e-5)
 
     def test_tp_generation_runs(self):
         from video_tokenizer_tpu.generation import generate

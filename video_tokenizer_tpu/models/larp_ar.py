@@ -418,15 +418,20 @@ class LARP_AR(nn.Module):
         h = self.tok_dropout(h, deterministic=not train)
         h = h + self.abs_pe[:, : h.shape[1]].astype(h.dtype)
 
+        # sequence-parallel activation constraint (identity unless tracing
+        # under parallel.tp.sequence_parallel(mesh))
+        from ..parallel.tp import seq_constraint
+
+        h = seq_constraint(h)
         if self.config.remat:
             # remat only the teacher-forcing path — prefill/decode keep tiny
             # activations and would just pay the recompute
             block = nn.remat(_apply_block, static_argnums=(2,))
             for layer in self.layers:
-                h = block(layer, h, train)
+                h = seq_constraint(block(layer, h, train))
         else:
             for layer in self.layers:
-                h = layer(h, train=train)
+                h = seq_constraint(layer(h, train=train))
         h = self.norm(h)
         logits = self.output(h)
         logits = logits[:, self.cls_token_num - 1 :]

@@ -13,13 +13,24 @@ Layout (standard Megatron split for a llama block):
   * wo kernel    [dim, dim]          -> shard INPUT dim  (row parallel)
   * w1/w3 kernel [dim, hidden]       -> shard OUTPUT dim (column parallel)
   * w2 kernel    [hidden, dim]       -> shard INPUT dim  (row parallel)
-  * embeddings / norms / head        -> replicated (vocab is small: 8192)
-Activations stay replicated across 'model'; each block costs one psum after
-attention and one after the FFN — inserted automatically by GSPMD.
+  * tok_embeddings [vocab, dim]      -> vocab-parallel rows (Megatron
+    VocabParallelEmbedding; GSPMD emits the masked-gather + psum)
+  * output head  [dim, vocab]        -> vocab-parallel columns; the CE
+    log-softmax reduction over the sharded vocab dim is partitioned by XLA
+    (local reduce + psum) instead of materializing full logits per chip
+  * cls embedding / norms / abs_pe   -> replicated (tiny)
+By default activations are replicated across 'model': each block costs one
+psum after attention and one after the FFN — inserted automatically by
+GSPMD. Under `sequence_parallel(mesh)` the inter-block activations are
+additionally sharded over the sequence dim on 'model'
+(Megatron-SP, arXiv:2205.05198): the partitioner converts each psum into a
+reduce-scatter + all-gather pair, so norms/elementwise/dropout compute on
+1/m of the tokens and the peak replicated-activation footprint drops by m.
 """
 from __future__ import annotations
 
-from typing import Any
+import threading
+from typing import Any, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -32,7 +43,47 @@ def larp_ar_param_spec(path) -> P:
         return P(None, "model")  # column parallel
     if "wo" in keys or "w2" in keys:
         return P("model", None)  # row parallel
+    if "tok_embeddings" in keys and keys[-1] == "embedding":
+        return P("model", None)  # vocab-parallel embedding rows
+    if "output" in keys and keys[-1] == "kernel":
+        return P(None, "model")  # vocab-parallel head columns
     return P()  # replicated
+
+
+# --------------------------------------------------------- sequence parallel
+
+_seq_parallel = threading.local()
+
+
+class sequence_parallel:
+    """Context manager: trace jitted AR steps inside it to shard inter-block
+    activations [B, S, D] as P('data', 'model', None). The constraint is
+    baked into the traced computation, so wrap the TRACING call (first
+    invocation of the jitted fn), not just compilation."""
+
+    def __init__(self, mesh: Mesh):
+        self.sharding = NamedSharding(mesh, P("data", "model", None))
+
+    def __enter__(self):
+        _seq_parallel.sharding = self.sharding
+        return self
+
+    def __exit__(self, *exc):
+        _seq_parallel.sharding = None
+
+
+def seq_constraint(x: jax.Array) -> jax.Array:
+    """Apply the ambient sequence-parallel constraint to a [B, S, D]
+    activation (identity outside a `sequence_parallel` context or for
+    non-rank-3 values). Called by the AR model between blocks."""
+    sharding: Optional[NamedSharding] = getattr(
+        _seq_parallel, "sharding", None
+    )
+    if sharding is None or getattr(x, "ndim", 0) != 3:
+        return x
+    if x.shape[1] % sharding.mesh.shape["model"] != 0:
+        return x  # odd sequence length: leave unconstrained
+    return jax.lax.with_sharding_constraint(x, sharding)
 
 
 def shard_params_tp(params: Any, mesh: Mesh) -> Any:
