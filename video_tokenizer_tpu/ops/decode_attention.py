@@ -32,11 +32,17 @@ are broadcast back through its transpose. Scores/softmax are fp32 in VMEM,
 matching `ops.attention`'s training kernel.
 
 GQA (n_kv_head < n_head, reference larp_ar.py:190-209): the rep query heads
-of each KV group are folded into a leading batch-like dim ([rep * B, KV]
+of each KV group are folded into a leading batch-like dim ([rep, B, KV]
 query layout), so every DMA'd K/V block is shared by all rep heads — the
 cache traffic (the decode bottleneck) is identical to MHA's, with only
 O(rep) extra on-chip VPU work. int8 caches add [S, 128] per-row scale
 planes dequantized in-kernel (`_quantize_rows`).
+
+Large batch: VMEM working set scales with B * block_s, so one program over
+the full batch either OOMs VMEM or forces tiny S blocks (both measured on a
+v5e at B=64). Instead the grid runs over batch CHUNKS of `bc <= 16` rows —
+each program DMAs only its own [bc, block_s, KV] cache slices, so block_s
+stays large at any batch and VMEM use is constant in B.
 
 Public entry: `decode_attention(q, k_cache, v_cache, pos, key_valid=None)`
 with q [B, H, D], caches [B, S, Hkv * D].
@@ -72,12 +78,12 @@ def _quantize_rows(rows: jax.Array):
 
 def _decode_kernel(
     pos_ref,  # scalar prefetch: [1] int32
-    q_ref,  # [rep * B, KV] VMEM (KV == Hkv * D; rep == 1 for MHA). GQA
+    q_ref,  # [rep, bc, KV] VMEM (KV == Hkv * D; rep == 1 for MHA). GQA
     #         folds the rep query heads of each KV group into a leading
     #         batch-like dim so every DMA'd K/V block is shared by all rep
     #         heads — zero extra cache traffic vs MHA, only O(rep) extra
-    #         VPU/selector work per block.
-    k_hbm,  # [B, S, KV] ANY (stays in HBM)
+    #         VPU/selector work per block. bc = this program's batch chunk.
+    k_hbm,  # [B, S, KV] ANY (stays in HBM; this program DMAs its bc rows)
     v_hbm,  # [B, S, KV] ANY
     bias_hbm,  # [S, 128] fp32 ANY (0 valid / -inf-ish invalid; batch in
     #            the first B lanes, lane dim padded to the 128 tile)
@@ -86,6 +92,7 @@ def _decode_kernel(
     block_s: int,
     head_dim: int,
     rep: int,
+    bc: int,
     quantized: bool,
 ):
     # int8 caches add two [S, 128] fp32 scale-plane operands (same layout as
@@ -99,15 +106,34 @@ def _decode_kernel(
         ks_hbm = vs_hbm = ks_buf = vs_buf = ks_sem = vs_sem = None
     pos = pos_ref[0]
     nb = pos // block_s + 1  # live blocks (dynamic)
+    off = pl.program_id(0) * bc  # this program's batch rows [off, off + bc)
+    b_slice = pl.ds(off, bc)
+    # 0/1 lane picker for this chunk's columns of the [S, 128] bias/scale
+    # planes: pick[l, i] = 1 iff lane l is batch row off + i. A dynamic
+    # lane-slice is not lowerable on TPU; one tiny MXU matmul against this
+    # picker extracts the bc live lanes instead.
+    pick = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, bc), 0)
+        == off + jax.lax.broadcasted_iota(jnp.int32, (128, bc), 1)
+    ).astype(jnp.float32)
+
+    def pick_lanes(plane):  # [block_s, 128] -> [bc, block_s]
+        return jnp.swapaxes(
+            jax.lax.dot_general(
+                plane, pick, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            0, 1,
+        )
 
     def kv_copy(j, slot):
         s_slice = pl.ds(j * block_s, block_s)
         copies = [
             pltpu.make_async_copy(
-                k_hbm.at[:, s_slice], k_buf.at[slot], k_sem.at[slot]
+                k_hbm.at[b_slice, s_slice], k_buf.at[slot], k_sem.at[slot]
             ),
             pltpu.make_async_copy(
-                v_hbm.at[:, s_slice], v_buf.at[slot], v_sem.at[slot]
+                v_hbm.at[b_slice, s_slice], v_buf.at[slot], v_sem.at[slot]
             ),
             pltpu.make_async_copy(
                 bias_hbm.at[s_slice], b_buf.at[slot], b_sem.at[slot]
@@ -127,9 +153,9 @@ def _decode_kernel(
     for c in kv_copy(0, 0):
         c.start()
 
-    _, B, _, KV = k_buf.shape
+    KV = k_buf.shape[-1]
     H = KV // head_dim  # KV heads (== query heads when rep == 1)
-    q = q_ref[...].astype(jnp.float32).reshape(rep, B, KV)
+    q = q_ref[...].astype(jnp.float32)  # [rep, bc, KV]
     # 0/1 head selector: sel[c, h] = 1 iff lane c belongs to head h. One
     # small MXU matmul sums each head's lane segment — reshaping the KV lane
     # dim into (H, D) would be a lane->sublane relayout instead.
@@ -148,71 +174,70 @@ def _decode_kernel(
 
         for c in kv_copy(j, slot):
             c.wait()
-        k = k_buf[slot].astype(jnp.float32)  # [B, block_s, KV]
+        k = k_buf[slot].astype(jnp.float32)  # [bc, block_s, KV]
         v = v_buf[slot].astype(jnp.float32)
         if quantized:
-            ks = jnp.swapaxes(ks_buf[slot][:, :B], 0, 1)[:, :, None]
-            vs = jnp.swapaxes(vs_buf[slot][:, :B], 0, 1)[:, :, None]
-            k = k * ks  # [B, block_s, KV] dequant per cache row
+            ks = pick_lanes(ks_buf[slot])[:, :, None]
+            vs = pick_lanes(vs_buf[slot])[:, :, None]
+            k = k * ks  # [bc, block_s, KV] dequant per cache row
             v = v * vs
 
-        qk = q[:, :, None, :] * k[None]  # [rep, B, block_s, KV]
+        qk = q[:, :, None, :] * k[None]  # [rep, bc, block_s, KV]
         s = jax.lax.dot_general(
-            qk.reshape(rep * B * block_s, KV), sel, (((1,), (0,)), ((), ())),
+            qk.reshape(rep * bc * block_s, KV), sel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(rep, B, block_s, H) * sm_scale
+        ).reshape(rep, bc, block_s, H) * sm_scale
 
         k_pos = j * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, block_s, 1), 2
         )
-        bias = jnp.swapaxes(b_buf[slot][:, :B], 0, 1)[None, :, :, None]
+        bias = pick_lanes(b_buf[slot])[None, :, :, None]
         s = jnp.where(k_pos <= pos, s + bias, DEFAULT_MASK_VALUE)
 
         # online softmax over the block_s dim
-        m_cur = jnp.max(s, axis=2, keepdims=True)  # [rep, B, 1, H]
+        m_cur = jnp.max(s, axis=2, keepdims=True)  # [rep, bc, 1, H]
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [rep, B, block_s, H]
+        p = jnp.exp(s - m_new)  # [rep, bc, block_s, H]
         l_new = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
 
         # broadcast p back across each head's lanes, weight V, reduce the
-        # block_s dim -> [rep, B, KV]
+        # block_s dim -> [rep, bc, KV]
         pb = jax.lax.dot_general(
-            p.reshape(rep * B * block_s, H), sel, (((1,), (1,)), ((), ())),
+            p.reshape(rep * bc * block_s, H), sel, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(rep, B, block_s, KV)
+        ).reshape(rep, bc, block_s, KV)
         pv = jnp.sum(pb * v[None], axis=2)
         alpha_full = jax.lax.dot_general(
-            alpha[:, :, 0].reshape(rep * B, H), sel, (((1,), (1,)), ((), ())),
+            alpha[:, :, 0].reshape(rep * bc, H), sel, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(rep, B, KV)
+        ).reshape(rep, bc, KV)
         return m_new, l_new, acc * alpha_full + pv
 
-    m0 = jnp.full((rep, B, 1, H), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((rep, B, 1, H), jnp.float32)
-    acc0 = jnp.zeros((rep, B, KV), jnp.float32)
+    m0 = jnp.full((rep, bc, 1, H), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rep, bc, 1, H), jnp.float32)
+    acc0 = jnp.zeros((rep, bc, KV), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
     l_full = jax.lax.dot_general(
-        l[:, :, 0].reshape(rep * B, H), sel, (((1,), (1,)), ((), ())),
+        l[:, :, 0].reshape(rep * bc, H), sel, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(rep, B, KV)
-    o_ref[...] = (acc / l_full).reshape(rep * B, KV).astype(o_ref.dtype)
+    ).reshape(rep, bc, KV)
+    o_ref[...] = (acc / l_full).astype(o_ref.dtype)
 
 
 def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
-                   head_dim, k_scale=None, v_scale=None):
+                   head_dim, bc, k_scale=None, v_scale=None):
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
     rep = (H * D) // KV  # query heads per KV head (1 for MHA)
     quantized = k_scale is not None
     pos = jnp.asarray(pos, jnp.int32).reshape(1)
     # GQA: query head h reads KV group h // rep (matching the training
-    # path's jnp.repeat). Lay q out [rep, B, Hkv * D] -> [rep * B, KV] so
-    # each r-slice aligns with the [B, ...] K/V blocks in the kernel.
-    q_in = (
-        q.reshape(B, KV // D, rep, D)
-        .transpose(2, 0, 1, 3)
-        .reshape(rep * B, KV)
+    # path's jnp.repeat). Lay q out [rep, B, Hkv * D] so each r-slice aligns
+    # with the [bc, ...] K/V blocks in the kernel; the grid blocks the B dim
+    # into chunks of bc rows.
+    q_in = q.reshape(B, KV // D, rep, D).transpose(2, 0, 1, 3).reshape(
+        rep, B, KV
     )
     # key validity as an additive bias laid out [S, 128] (batch in the first
     # B lanes): S in the SUBLANE dim so per-block DMA slices are
@@ -229,13 +254,13 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     n_hbm = 5 if quantized else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[pl.BlockSpec((rep * B, KV), lambda i, pos_ref: (0, 0))]
+        grid=(B // bc,),
+        in_specs=[pl.BlockSpec((rep, bc, KV), lambda i, pos_ref: (0, i, 0))]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_hbm,
-        out_specs=pl.BlockSpec((rep * B, KV), lambda i, pos_ref: (0, 0)),
+        out_specs=pl.BlockSpec((rep, bc, KV), lambda i, pos_ref: (0, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, B, block_s, KV), k_cache.dtype),
-            pltpu.VMEM((2, B, block_s, KV), v_cache.dtype),
+            pltpu.VMEM((2, bc, block_s, KV), k_cache.dtype),
+            pltpu.VMEM((2, bc, block_s, KV), v_cache.dtype),
             pltpu.VMEM((2, block_s, 128), jnp.float32),
         ]
         + ([pltpu.VMEM((2, block_s, 128), jnp.float32)] * 2 if quantized
@@ -244,7 +269,7 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     )
     kernel = functools.partial(
         _decode_kernel, sm_scale=sm_scale, block_s=block_s,
-        head_dim=head_dim, rep=rep, quantized=quantized,
+        head_dim=head_dim, rep=rep, bc=bc, quantized=quantized,
     )
     operands = [pos, q_in, k_cache, v_cache, bias]
     if quantized:
@@ -252,7 +277,7 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rep * B, KV), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((rep, B, KV), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -274,33 +299,66 @@ def xla_decode_attention(q, k_cache, v_cache, pos, key_valid=None,
     Hkv = KV // D
     rep = H // Hkv
     scale = sm_scale if sm_scale is not None else D ** -0.5
-    qg = q.reshape(B, Hkv, rep, D)
-    k_cache = k_cache.astype(jnp.float32)
-    v_cache = v_cache.astype(jnp.float32)
-    if k_scale is not None:
-        k_cache = k_cache * k_scale[:, :B].T[:, :, None]
-        v_cache = v_cache * v_scale[:, :B].T[:, :, None]
+    qg = q.reshape(B, Hkv, rep, D).astype(jnp.float32)
     kh = k_cache.reshape(B, S, Hkv, D)
     vh = v_cache.reshape(B, S, Hkv, D)
+    if k_scale is not None:
+        # int8 caches: keep the dots in a narrow dtype (int8 -> bf16 is
+        # exact, and the convert fuses into the dot) and fold the per-row
+        # scales into scores/probs — dequantizing the whole [B, S, KV]
+        # cache to fp32 in HBM quadruples the bandwidth-bound traffic and
+        # dominated the step at large batch (~94 ms/step at B=64, v5e).
+        kh = kh.astype(jnp.bfloat16)
+        vh = vh.astype(jnp.bfloat16)
+    else:
+        kh = kh.astype(jnp.float32)
+        vh = vh.astype(jnp.float32)
     scores = jnp.einsum(
-        "bhgd,bshd->bhgs", qg.astype(jnp.float32), kh.astype(jnp.float32)
+        "bhgd,bshd->bhgs", qg, kh, preferred_element_type=jnp.float32
     ) * scale
+    if k_scale is not None:
+        scores = scores * k_scale[:, :B].T[:, None, None, :]
     valid = jnp.arange(S)[None, None, None, :] <= pos
     if key_valid is not None:
         valid = jnp.logical_and(valid, key_valid[:, None, None, :])
     scores = jnp.where(valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgs,bshd->bhgd", probs, vh.astype(jnp.float32))
+    if v_scale is not None:
+        probs = probs * v_scale[:, :B].T[:, None, None, :]
+    out = jnp.einsum(
+        "bhgs,bshd->bhgd", probs, vh, preferred_element_type=jnp.float32
+    )
     return out.reshape(B, H, D).astype(q.dtype)
 
 
 def _pick_block_s(S: int, vmem_budget_bytes: int, row_bytes: int) -> int:
-    """Largest block_s in {256, ..., 8} dividing S whose 4 in-flight
-    (double-buffered) K+V blocks fit the scoped-VMEM budget. row_bytes =
-    bytes per cache slot across (B, KV) — lane-dense, no tile padding."""
+    """Largest block_s in {256, ..., 8} dividing S whose per-block fp32
+    compute working set fits the budget. row_bytes = bc * KV * 4: the kernel
+    body's fp32 temporaries (the dequantized/upcast K and V blocks and the
+    qk product) are what OOM VMEM, NOT the raw cache-dtype DMA buffers —
+    sized by cache bytes, int8 at bc=16/block_s=128 looks half the size of
+    bf16 but fails to compile (v5e, Mosaic scoped-vmem) because its fp32
+    dequant temps are identical. 5.5 MB was swept on a v5e
+    (tools/sweep_decode_tiles.py): bc=16 -> block_s 64, bc=8 -> 128 compile
+    for both cache dtypes and are the fastest measured configs."""
     for bs in (256, 128, 64, 32, 16, 8):
-        if S % bs == 0 and 4 * bs * row_bytes <= vmem_budget_bytes:
+        if S % bs == 0 and bs * row_bytes <= vmem_budget_bytes:
             return bs
+    return 0
+
+
+def _pick_batch_chunk(B: int, limit: int = 16) -> int:
+    """Largest multiple-of-8 divisor of B that is <= limit (the per-program
+    batch rows). 16 rows x block_s 128 is the empirically VMEM-safe working
+    set on v5e; larger per-program batches stack-OOM in fp32 compute
+    temporaries, and non-multiple-of-8 chunks violate the sublane tiling of
+    the q/o block shapes. Returns 0 (-> XLA fallback) when B has no such
+    divisor."""
+    if B <= limit:
+        return B if B % 8 == 0 else 0
+    for d in range(limit - limit % 8, 0, -8):
+        if B % d == 0:
+            return d
     return 0
 
 
@@ -314,6 +372,8 @@ def decode_attention(
     use_pallas: Optional[bool] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    block_s: Optional[int] = None,
+    batch_chunk: Optional[int] = None,
 ) -> jax.Array:
     """One-token decode attention over a KV cache.
 
@@ -325,22 +385,23 @@ def decode_attention(
     planes for int8 caches (see `_quantize_rows`). Returns [B, H, D] in
     q.dtype. `use_pallas=None` auto-selects; the Pallas path covers MHA and
     GQA with a 128-multiple KV-cache width — tiny test geometries use the
-    XLA path.
+    XLA path. `block_s`/`batch_chunk` override the auto-tuned kernel tile
+    sizes (tools/profile_decode.py sweeps them).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
-    # ~12 MB of the default 16 MB scoped-VMEM budget for the 4 in-flight
-    # (double-buffered) K+V blocks
-    block_s = _pick_block_s(S, 12 << 20, B * KV * k_cache.dtype.itemsize)
+    bc = batch_chunk or _pick_batch_chunk(B)
+    if block_s is None:
+        block_s = _pick_block_s(S, int(5.5 * (1 << 20)), bc * KV * 4)
     if (not use_pallas or (H * D) % KV != 0 or KV % 128 != 0 or block_s == 0
-            or B > 128):
+            or bc == 0 or bc % 8 != 0 or B % bc != 0 or B > 128):
         return xla_decode_attention(
             q, k_cache, v_cache, pos, key_valid, sm_scale, k_scale, v_scale
         )
     scale = sm_scale if sm_scale is not None else D ** -0.5
     return _pallas_decode(
-        q, k_cache, v_cache, pos, key_valid, scale, block_s, D,
+        q, k_cache, v_cache, pos, key_valid, scale, block_s, D, bc,
         k_scale, v_scale,
     )
