@@ -120,6 +120,7 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
             ar_model.max_seq_length, sub,
             cfg_scale=args.cfg_scale, cfg_interval=args.cfg_interval,
             temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+            cache_dtype=jnp.int8 if args.kv_dtype == "int8" else None,
         )
         nlls.append(float(nll_fn({"params": ar_params}, labels, seq)))
         videos = np.asarray(decode_fn({"params": tok_params}, seq))
@@ -229,6 +230,7 @@ def predict_frames(args, ar_model, ar_params, tokenizer, tok_params):
             ar_model.max_seq_length, sub,
             cfg_scale=1.0, temperature=args.temperature,
             top_k=args.top_k, top_p=args.top_p,
+            cache_dtype=jnp.int8 if args.kv_dtype == "int8" else None,
         )
         videos = np.asarray(
             resize_video(decode_fn({"params": tok_params}, seq), args.fp_resolution)
@@ -334,6 +336,13 @@ def main():
                          "in the matmul) for ~1.3x more tokens/s at a small "
                          "accuracy cost; logits/softmax/NLL math stays fp32 "
                          "either way.")
+    ap.add_argument("--kv_dtype", default="auto", choices=["auto", "int8"],
+                    help="KV-cache dtype for the decode loop. auto follows "
+                         "the param dtype (bf16/fp32); int8 quantizes every "
+                         "cache row symmetrically (per-row scale planes, "
+                         "dequant inside the Pallas decode kernel) — halves "
+                         "the cache HBM traffic for ~1.27x more tokens/s on "
+                         "top of --dtype int8 at a small accuracy cost.")
     args = ap.parse_args()
 
     # local checkpoint dir or hub id (reference sample.py:404-415)
