@@ -286,6 +286,22 @@ def _apply_block(layer, x, train):
     return layer(x, train=train)
 
 
+def ar_sequence_loss(logits, targets, valid=None):
+    """Teacher-forcing CE as (sum of per-token NLL, token count) so callers
+    that split the batch (pipeline microbatches, parallel/pp.py) can combine
+    partial sums exactly; `sum / max(count, 1)` reproduces the reference's
+    mean CE (larp_ar.py forward)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(
+        logp.reshape(-1, logp.shape[-1]),
+        targets.reshape(-1, 1), axis=-1,
+    ).squeeze(-1)
+    if valid is not None:
+        v = jnp.repeat(valid[:, None], targets.shape[1], axis=1).reshape(-1)
+        return jnp.sum(nll * v), jnp.sum(v)
+    return jnp.sum(nll), jnp.asarray(nll.size, jnp.float32)
+
+
 class TransformerBlock(nn.Module):
     config: ModelArgs
     drop_path_rate: float = 0.0
@@ -403,6 +419,22 @@ class LARP_AR(nn.Module):
         emb = self.cls_embedding(cond_idx, train=train)
         return emb[:, None, :][:, : self.cls_token_num]
 
+    def embed_inputs(self, idx, cond_idx, train: bool = False):
+        """Input embeddings for the teacher-forcing trunk: cond + token
+        embeddings, token dropout, absolute PE. Split out of __call__ so the
+        pipeline-parallel runner (parallel/pp.py) can reuse the exact
+        pre-trunk computation."""
+        cond_embeddings = self._cond_embeddings(cond_idx, train)
+        token_embeddings = self.tok_embeddings(idx)
+        h = jnp.concatenate([cond_embeddings, token_embeddings], axis=1)
+        h = self.tok_dropout(h, deterministic=not train)
+        return h + self.abs_pe[:, : h.shape[1]].astype(h.dtype)
+
+    def head(self, h):
+        """Final norm + vocab projection + cls-token trim (post-trunk)."""
+        logits = self.output(self.norm(h))
+        return logits[:, self.cls_token_num - 1 :]
+
     def __call__(
         self,
         idx: Optional[jax.Array],
@@ -412,11 +444,7 @@ class LARP_AR(nn.Module):
         train: bool = False,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Teacher-forcing forward (training / naive inference)."""
-        cond_embeddings = self._cond_embeddings(cond_idx, train)
-        token_embeddings = self.tok_embeddings(idx)
-        h = jnp.concatenate([cond_embeddings, token_embeddings], axis=1)
-        h = self.tok_dropout(h, deterministic=not train)
-        h = h + self.abs_pe[:, : h.shape[1]].astype(h.dtype)
+        h = self.embed_inputs(idx, cond_idx, train)
 
         # sequence-parallel activation constraint (identity unless tracing
         # under parallel.tp.sequence_parallel(mesh))
@@ -432,22 +460,12 @@ class LARP_AR(nn.Module):
         else:
             for layer in self.layers:
                 h = seq_constraint(layer(h, train=train))
-        h = self.norm(h)
-        logits = self.output(h)
-        logits = logits[:, self.cls_token_num - 1 :]
+        logits = self.head(h)
 
         loss = None
         if targets is not None:
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(
-                logp.reshape(-1, logp.shape[-1]),
-                targets.reshape(-1, 1), axis=-1,
-            ).squeeze(-1)
-            if valid is not None:
-                v = jnp.repeat(valid[:, None], targets.shape[1], axis=1).reshape(-1)
-                loss = jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1)
-            else:
-                loss = jnp.mean(nll)
+            nll_sum, n = ar_sequence_loss(logits, targets, valid)
+            loss = nll_sum / jnp.maximum(n, 1)
         return logits, loss
 
     # ------------------------------------------------------------ sampling

@@ -1,3 +1,4 @@
+from . import pp  # noqa: F401
 from . import ring  # noqa: F401
 from . import tp  # noqa: F401
 from .mesh import (
