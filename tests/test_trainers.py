@@ -1,4 +1,5 @@
 """Trainer-level tests on the 8-device CPU mesh: steps, resume, checkpoints."""
+import jax
 import numpy as np
 import pytest
 
@@ -148,30 +149,41 @@ class TestTokenizerTrainer:
         assert not np.array_equal(gen_before, gen_after)  # generator trained
 
 
+def _ar_cfg(tmp_path, **over):
+    cfg = _tok_cfg(tmp_path)
+    cfg["vae"] = {
+        "name": "larp_tokenizer", "checkpoint": "",
+        "args": cfg["model"]["args"].to_dict(),
+    }
+    cfg["model"] = {
+        "name": "larp_ar",
+        "args": {
+            "num_classes": 101, "token_dropout_p": 0.0,
+            "resid_dropout_p": 0.0, "ffn_dropout_p": 0.0,
+            "dim": 64, "n_layer": 1, "n_head": 4,
+        },
+    }
+    cfg["ar"] = {"num_samples": 2, "sample_batch_size": 2, "num_frames": 8}
+    cfg["optimizer"] = {
+        "name": "adamw", "args": {"lr": 6e-4, "weight_decay": 0.05},
+        "lr_type": "cosine", "warmup_epoch": 1, "min_lr_mult": 0.1,
+    }
+    cfg.update(over)
+    return cfg
+
+
+def _make_ar_trainer(cfg):
+    tr = trainers.make({"name": "larp_ar_trainer"}, args={"cfg": cfg})
+    tr.make_datasets()
+    tr.n_steps_per_epoch = 4
+    tr.make_model()
+    return tr
+
+
 class TestARTrainer:
     def test_step(self, tmp_path):
-        cfg = _tok_cfg(tmp_path)
-        cfg["vae"] = {
-            "name": "larp_tokenizer", "checkpoint": "",
-            "args": cfg["model"]["args"].to_dict(),
-        }
-        cfg["model"] = {
-            "name": "larp_ar",
-            "args": {
-                "num_classes": 101, "token_dropout_p": 0.0,
-                "resid_dropout_p": 0.0, "ffn_dropout_p": 0.0,
-                "dim": 64, "n_layer": 1, "n_head": 4,
-            },
-        }
-        cfg["ar"] = {"num_samples": 2, "sample_batch_size": 2, "num_frames": 8}
-        cfg["optimizer"] = {
-            "name": "adamw", "args": {"lr": 6e-4, "weight_decay": 0.05},
-            "lr_type": "cosine", "warmup_epoch": 1, "min_lr_mult": 0.1,
-        }
-        tr = trainers.make({"name": "larp_ar_trainer"}, args={"cfg": cfg})
-        tr.make_datasets()
-        tr.n_steps_per_epoch = 4
-        tr.make_model()
+        cfg = _ar_cfg(tmp_path)
+        tr = _make_ar_trainer(cfg)
         info = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
         assert np.isfinite(info["loss"])
         assert 0.0 <= info["top1"] <= 1.0 and info["top1"] <= info["top5"]
@@ -179,6 +191,44 @@ class TestARTrainer:
         # labels by running a second step without error
         info2 = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
         assert np.isfinite(info2["loss"])
+
+    def test_tp_trainer_matches_replicated(self, tmp_path):
+        """cfg `mesh_model: 2` + `sequence_parallel: true`: the trainer's
+        (data=4, model=2) TP+SP step reproduces the pure-DP loss trajectory,
+        and params actually carry 'model'-axis shardings."""
+        losses = {}
+        for name, over in (
+            ("dp", {}),
+            ("tp", {"mesh_model": 2, "sequence_parallel": True}),
+        ):
+            tr = _make_ar_trainer(_ar_cfg(tmp_path / name, **over))
+            traj = []
+            for _ in range(2):
+                traj.append(
+                    _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))["loss"]
+                )
+            losses[name] = traj
+            if name == "tp":
+                assert tr.mesh.shape["model"] == 2
+                wqkv = tr.state["params"]["layers_0"]["attention"]["wqkv"]["kernel"]
+                assert "model" in str(wqkv.sharding.spec)
+        np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=2e-4)
+
+    def test_fsdp_tp_composed_trainer_step(self, tmp_path):
+        """param_placement fsdp + mesh_model 2: ZeRO-3 over 'data' composed
+        with Megatron TP over 'model' inside the real trainer."""
+        tr = _make_ar_trainer(_ar_cfg(
+            tmp_path, mesh_model=2, param_placement="fsdp", fsdp_min_size=512,
+        ))
+        info = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
+        assert np.isfinite(info["loss"])
+        spec = str(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda p: str(p.sharding.spec),
+                tr.state["params"]["layers_0"]["attention"]["wqkv"],
+            )
+        ))
+        assert "model" in spec and "data" in spec
 
 
 class TestEpochLoop:
@@ -225,6 +275,48 @@ class TestEpochLoop:
         # EMA variant loads too
         _, ema = load_model_from_checkpoint(final, version="ema_0.999")
         assert ema is not None
+
+    def test_preemption_checkpoint_and_resume(self, tmp_path):
+        """SIGTERM mid-epoch: a resumable epoch-last is written at the next
+        step boundary and the process exits cleanly; resuming replays the
+        interrupted epoch."""
+        import os
+        import signal
+
+        from video_tokenizer_tpu.utils import checkpoint as ckpt_lib
+
+        cfg = _tok_cfg(tmp_path, max_epoch=3)
+        tr = trainers.make({"name": "larp_tokenizer_trainer"}, args={"cfg": cfg})
+        tr.make_datasets()
+        full_loader = tr.train_loader
+
+        def killing_loader(epoch):
+            for i, b in enumerate(full_loader(epoch)):
+                if i == 1:  # deliver the eviction signal mid-epoch
+                    os.kill(os.getpid(), signal.SIGTERM)
+                if i >= 3:
+                    break
+                yield b
+
+        tr.train_loader = killing_loader
+        tr.n_steps_per_epoch = 3
+        tr.make_model()
+        with pytest.raises(SystemExit):
+            tr.run()
+
+        path = os.path.join(cfg["save_dir"], "epoch-last")
+        meta = ckpt_lib.load_meta(path)
+        assert meta["preempted"] and meta["epoch"] == 0  # epoch 1 replays
+
+        cfg2 = _tok_cfg(tmp_path, max_epoch=3)
+        tr2 = trainers.make(
+            {"name": "larp_tokenizer_trainer"}, args={"cfg": cfg2}
+        )
+        tr2.make_datasets()
+        tr2.n_steps_per_epoch = 3
+        tr2.make_model()
+        assert tr2.try_resume()
+        assert tr2.epoch == 0  # next train() pass starts at epoch 1
 
 
 class TestVisualization:

@@ -189,13 +189,24 @@ class _ARTrainerBase(BaseTrainer):
         # equivalent, like the reference). Needed for llama-abs-XXL/XXXL,
         # whose fp32 params+Adam exceed one chip's HBM.
         placement = str(self.cfg.get("param_placement", "replicated"))
-        if placement == "fsdp":
+        # cfg `mesh_model: N` (base_trainer mesh) turns on Megatron tensor
+        # parallelism for the zoo (parallel/tp.py): column/row-parallel
+        # matmuls + vocab-parallel embedding/head, collectives inserted by
+        # GSPMD. Composes with `param_placement: fsdp` (the remaining large
+        # dim shards over 'data' — ZeRO-3+TP, the llama-abs-XXXL layout).
+        use_tp = self.mesh.shape.get("model", 1) > 1
+        if placement == "fsdp" or use_tp:
             from ..parallel.fsdp import shard_like_params, shard_params_fsdp
+            from ..parallel.tp import larp_ar_param_spec, shard_params_tp
 
-            min_size = int(self.cfg.get("fsdp_min_size", 2**16))
-            state["params"] = shard_params_fsdp(
-                state["params"], self.mesh, min_size=min_size
-            )
+            if placement == "fsdp":
+                min_size = int(self.cfg.get("fsdp_min_size", 2**16))
+                state["params"] = shard_params_fsdp(
+                    state["params"], self.mesh, min_size=min_size,
+                    tp_spec_fn=larp_ar_param_spec if use_tp else None,
+                )
+            else:
+                state["params"] = shard_params_tp(state["params"], self.mesh)
             state["opt"] = shard_like_params(
                 state["opt"], state["params"], self.mesh
             )
@@ -272,14 +283,32 @@ class _ARTrainerBase(BaseTrainer):
 
     # ------------------------------------------------------------ loop hooks
 
+    def _sp_ctx(self):
+        """cfg `sequence_parallel: true` (with mesh_model > 1): trace the
+        jitted steps under parallel.tp.sequence_parallel so inter-block
+        activations shard over 'model' on the sequence dim (Megatron-SP).
+        The constraint bakes in at trace time; entering the context on every
+        call is a no-op afterwards."""
+        if bool(self.cfg.get("sequence_parallel", False)) and (
+            self.mesh.shape.get("model", 1) > 1
+        ):
+            from ..parallel.tp import sequence_parallel
+
+            return sequence_parallel(self.mesh)
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def train_step(self, batch):
-        self.state, packed = self._train_step(
-            self.state, self.vae_params, batch
-        )
+        with self._sp_ctx():
+            self.state, packed = self._train_step(
+                self.state, self.vae_params, batch
+            )
         return (self._info_keys["train"], packed)
 
     def evaluate_step(self, batch):
-        _, packed = self._eval_step(self.state, self.vae_params, batch)
+        with self._sp_ctx():
+            _, packed = self._eval_step(self.state, self.vae_params, batch)
         return dict(zip(self._info_keys["eval"], np.asarray(packed).tolist()))
 
     def sample_videos(self, cond, key):

@@ -31,7 +31,7 @@ import numpy as np
 from .. import registry
 from ..config import ConfigDict, save_config
 from ..data.loader import make_loader
-from ..parallel import create_mesh, shard_batch
+from ..parallel import MeshConfig, create_mesh, shard_batch
 from ..registry import trainers
 from ..utils import common
 from ..utils import checkpoint as ckpt_lib
@@ -80,7 +80,12 @@ class BaseTrainer:
     def __init__(self, cfg: ConfigDict):
         self.cfg = cfg
         self.is_master = jax.process_index() == 0
-        self.mesh = create_mesh()
+        # cfg `mesh_model: N` carves a 2-D (data, model) mesh for tensor
+        # parallelism (parallel/tp.py); default is the reference-equivalent
+        # pure-DP layout (SURVEY.md §2.3).
+        self.mesh = create_mesh(
+            MeshConfig(model=int(cfg.get("mesh_model", 1)))
+        )
         self.save_dir = cfg.get("save_dir", cfg.get("out_path", "save/run"))
         if self.is_master:
             common.ensure_path(self.save_dir)
@@ -353,8 +358,48 @@ class BaseTrainer:
         self.load_state(warm)
         self.log(f"warm-started params from {path}")
 
+    # ------------------------------------------------------- preemption safety
+
+    def _install_preemption_handler(self):
+        """cfg `save_on_preempt` (default true): catch SIGTERM — the advance
+        warning TPU pods get before eviction — and request a checkpoint at
+        the next step boundary. The reference has no preemption handling
+        (SURVEY.md §5: auto-resume from epoch-last only, losing up to a full
+        epoch); here an evicted run loses at most one step."""
+        self._preempt_requested = False
+        if not bool(self.cfg.get("save_on_preempt", True)):
+            return
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def handler(signum, frame):
+            self._preempt_requested = True
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except (ValueError, OSError):
+            pass
+
+    def _checkpoint_on_preempt(self):
+        """Save a resumable epoch-last mid-epoch and exit cleanly. The meta
+        epoch is rolled back one so `try_resume` replays the interrupted
+        epoch from its start (data order is epoch-seeded, so the replay is
+        deterministic; re-training a partial epoch is the standard
+        trade-off for step-granular preemption safety)."""
+        meta = self.checkpoint_meta()
+        meta["epoch"] = self.epoch - 1
+        meta["preempted"] = True
+        path = os.path.join(self.save_dir, "epoch-last")
+        ckpt_lib.save_checkpoint(path, self.state_for_checkpoint(), meta)
+        self.log(f"preempted: checkpoint saved to {path}; exiting")
+        raise SystemExit(0)
+
     def train(self):
         cfg = self.cfg
+        self._install_preemption_handler()
         max_epoch = int(cfg["max_epoch"])
         eval_epoch = int(cfg.get("eval_epoch", max_epoch + 1))
         vis_epoch = int(cfg.get("vis_epoch", max_epoch + 1))
@@ -431,6 +476,8 @@ class BaseTrainer:
             batch_dev = shard_batch(self.mesh, {"gt": batch["gt"], "label": batch.get("label", np.zeros(len(batch["gt"])))})
             ret = self.train_step(batch_dev)
             self.t_model += time.time() - t0
+            if getattr(self, "_preempt_requested", False):
+                self._checkpoint_on_preempt()
             B = len(batch["gt"])
             if isinstance(ret, tuple):
                 # deferred device telemetry: no host sync inside the epoch,
