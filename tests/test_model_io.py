@@ -85,3 +85,35 @@ class TestFromPretrained:
         monkeypatch.setenv(HUB_CACHE_ENV, str(tmp_path / "empty"))
         with pytest.raises(FileNotFoundError, match="network egress"):
             resolve_pretrained("org/absent-model")
+
+
+class TestAsyncCheckpoint:
+    def test_nonblocking_save_commits_and_restores(self, tmp_path):
+        """block=False snapshots to host, writes in the background; after
+        wait_for_pending the checkpoint is committed and restores exactly.
+        A second save to the same path serializes behind the first."""
+        state = {
+            "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+            "step": jnp.asarray(3),
+        }
+        path = tmp_path / "async-ckpt"
+        ckpt_lib.save_checkpoint(
+            str(path), state, meta={"epoch": 1}, block=False
+        )
+        ckpt_lib.wait_for_pending()
+        assert ckpt_lib.checkpoint_exists(str(path))
+        assert ckpt_lib.load_meta(str(path))["epoch"] == 1
+        out = ckpt_lib.restore_checkpoint(str(path), state)
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["w"]), np.asarray(state["params"]["w"])
+        )
+
+        # overwrite asynchronously; restore (which waits) sees the new value
+        state2 = {
+            "params": {"w": jnp.full((2, 3), 7.0)},
+            "step": jnp.asarray(4),
+        }
+        ckpt_lib.save_checkpoint(str(path), state2, block=False)
+        out2 = ckpt_lib.restore_checkpoint(str(path), state2)
+        assert float(np.asarray(out2["params"]["w"])[0, 0]) == 7.0
+        assert int(np.asarray(out2["step"])) == 4

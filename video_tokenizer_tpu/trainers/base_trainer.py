@@ -274,10 +274,20 @@ class BaseTrainer:
     # ------------------------------------------------------------------ loops
 
     def save_checkpoint(self, name: str, save_best: bool = False):
+        # cfg `async_checkpoint` (default true): the epoch-loop save takes a
+        # host snapshot and hands the Orbax write to a background thread, so
+        # the next epoch's compute overlaps checkpoint I/O (the reference's
+        # torch.save always blocks, base_trainer.py:783-891). Final/preempt
+        # saves and restores stay blocking (ckpt_lib.wait_for_pending).
+        block = not bool(self.cfg.get("async_checkpoint", True))
         path = os.path.join(self.save_dir, name)
         t0 = time.time()
-        ckpt_lib.save_checkpoint(path, self.state_for_checkpoint(), self.checkpoint_meta())
-        self.log(f"checkpoint saved to {path} ({time.time() - t0:.1f}s)")
+        ckpt_lib.save_checkpoint(
+            path, self.state_for_checkpoint(), self.checkpoint_meta(),
+            block=block,
+        )
+        verb = "saved to" if block else "dispatched (async) to"
+        self.log(f"checkpoint {verb} {path} ({time.time() - t0:.1f}s)")
         if save_best:
             self._maybe_save_best()
 
@@ -444,6 +454,7 @@ class BaseTrainer:
         self.dump_csv()
         if max_epoch >= self.starting_epoch:
             self.save_final_checkpoint()
+        ckpt_lib.wait_for_pending()  # don't return with an in-flight save
 
     def train_epoch(self):
         ave: Dict[str, common.Averager] = {}

@@ -24,18 +24,54 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "meta.json")
 
 
+# One long-lived async checkpointer: `ocp.StandardCheckpointer` is an
+# AsyncCheckpointer, so a save dispatches the serialization + disk write to a
+# background thread and `wait_until_finished` joins it. At most one save is
+# in flight at a time (each save waits out the previous one).
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        import atexit
+
+        _CKPTR = ocp.StandardCheckpointer()
+        # interpreter teardown must not abandon an in-flight write
+        atexit.register(_CKPTR.wait_until_finished)
+    return _CKPTR
+
+
+def wait_for_pending():
+    """Block until any in-flight async save has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     path: str,
     state: Any,
     meta: Optional[Dict[str, Any]] = None,
     force: bool = True,
+    block: bool = True,
 ):
-    """Save a pytree `state` + JSON-serializable `meta` to directory `path`."""
+    """Save a pytree `state` + JSON-serializable `meta` to directory `path`.
+
+    `block=False` returns as soon as the device→host snapshot is taken and
+    hands the disk write to a background thread (the reference's torch.save
+    always blocks the epoch loop; see base_trainer.py:783-891). The snapshot
+    is a host-side numpy copy, so donated device buffers reused by the next
+    jitted step cannot corrupt an in-flight write. Orbax commits via
+    tmp-dir + atomic rename, so `checkpoint_exists` never sees a partial
+    checkpoint; a crash mid-write leaves the destination absent, not torn.
+    """
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
     state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
     ckptr.save(os.path.join(path, "state"), state, force=force)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     if meta is not None and jax.process_index() == 0:
         with open(_meta_path(path), "w") as f:
             json.dump(meta, f, indent=2, default=str)
@@ -50,6 +86,7 @@ def restore_checkpoint(path: str, target: Any = None) -> Any:
     """Restore state saved by `save_checkpoint`. `target` gives the pytree
     structure/dtypes (abstract or concrete); None restores raw arrays."""
     path = os.path.abspath(path)
+    wait_for_pending()  # never read a checkpoint still being written
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
         def absify(x):
