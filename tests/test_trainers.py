@@ -214,6 +214,40 @@ class TestARTrainer:
                 assert "model" in str(wqkv.sharding.spec)
         np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=2e-4)
 
+    def test_pp_trainer_matches_replicated(self, tmp_path):
+        """cfg `mesh_pipe: 2`: the trainer's GPipe pipeline step on a
+        (data=4, pipe=2) mesh reproduces the pure-DP loss trajectory, and
+        the final slim export converts back to the standard param layout
+        loadable by from_checkpoint."""
+        from video_tokenizer_tpu.utils.model_io import (
+            load_model_from_checkpoint,
+        )
+
+        losses = {}
+        for name, over in (
+            ("dp", {}),
+            ("pp", {"mesh_pipe": 2, "pp_microbatches": 2}),
+        ):
+            cfg = _ar_cfg(tmp_path / name, **over)
+            cfg["model"]["args"]["n_layer"] = 2
+            tr = _make_ar_trainer(cfg)
+            traj = []
+            for _ in range(2):
+                traj.append(
+                    _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))["loss"]
+                )
+            losses[name] = traj
+            if name == "pp":
+                assert tr.mesh.shape["pipe"] == 2
+                assert set(tr.state["params"]) == {"rest", "layers"}
+                tr.save_final_checkpoint()
+                import os
+
+                final = os.path.join(cfg["save_dir"], "epoch-final")
+                model, params = load_model_from_checkpoint(final)
+                assert "layers_1" in params  # standard layout restored
+        np.testing.assert_allclose(losses["dp"], losses["pp"], rtol=2e-4)
+
     def test_fsdp_tp_composed_trainer_step(self, tmp_path):
         """param_placement fsdp + mesh_model 2: ZeRO-3 over 'data' composed
         with Megatron TP over 'model' inside the real trainer."""

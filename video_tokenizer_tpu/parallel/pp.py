@@ -91,16 +91,18 @@ def shard_params_pp(params: Any, mesh: Mesh, n_layer: int) -> Any:
     return {"rest": rest, "layers": stacked}
 
 
-def pp_loss_fn(model, mesh: Mesh, n_microbatch: int):
-    """Teacher-forcing CE of `model` (a LARP_AR) with its trunk pipelined
-    over mesh axis 'pipe' and the batch sharded over 'data'.
+def pp_logits_fn(model, mesh: Mesh, n_microbatch: int):
+    """Teacher-forcing logits of `model` (a LARP_AR) with its trunk
+    pipelined over mesh axis 'pipe' and the batch sharded over 'data'.
 
-    Returns fn(pp_params, idx, cond_idx, targets, valid=None) -> scalar
-    loss, differentiable wrt pp_params (= output of `shard_params_pp`).
-    Requires n_layer % pipe == 0, per-data-shard batch % n_microbatch == 0,
-    and drop_path_rate == 0 (deterministic trunk).
+    Returns fn(pp_params, idx, cond_idx, train=False, rngs=None) -> logits,
+    differentiable wrt pp_params (= output of `shard_params_pp`). The
+    embeddings (incl. token dropout, hence `rngs`) and the output head run
+    outside the shard_map; the trunk is deterministic. Requires
+    n_layer % pipe == 0, per-data-shard batch % n_microbatch == 0, and
+    drop_path_rate == 0.
     """
-    from ..models.larp_ar import LARP_AR, TransformerBlock, ar_sequence_loss
+    from ..models.larp_ar import LARP_AR, TransformerBlock
 
     cfg = model.config
     n_stages = mesh.shape["pipe"]
@@ -171,15 +173,29 @@ def pp_loss_fn(model, mesh: Mesh, n_microbatch: int):
         out = jax.lax.psum(out, "pipe")
         return out.reshape(b_local, *h.shape[1:])
 
-    def fn(pp_params, idx, cond_idx, targets,
-           valid: Optional[jax.Array] = None):
+    def fn(pp_params, idx, cond_idx, train: bool = False, rngs=None):
         rest = pp_params["rest"]
         h = model.apply(
-            {"params": rest}, idx, cond_idx,
-            method=LARP_AR.embed_inputs,
+            {"params": rest}, idx, cond_idx, train,
+            method=LARP_AR.embed_inputs, rngs=rngs,
         )
         h = trunk(pp_params["layers"], h)
-        logits = model.apply({"params": rest}, h, method=LARP_AR.head)
+        return model.apply({"params": rest}, h, method=LARP_AR.head)
+
+    return fn
+
+
+def pp_loss_fn(model, mesh: Mesh, n_microbatch: int):
+    """Teacher-forcing CE built on `pp_logits_fn` (see there for the
+    pipelining contract). fn(pp_params, idx, cond_idx, targets, valid=None)
+    -> scalar loss."""
+    from ..models.larp_ar import ar_sequence_loss
+
+    logits_fn = pp_logits_fn(model, mesh, n_microbatch)
+
+    def fn(pp_params, idx, cond_idx, targets,
+           valid: Optional[jax.Array] = None):
+        logits = logits_fn(pp_params, idx, cond_idx)
         nll_sum, n = ar_sequence_loss(logits, targets, valid)
         return nll_sum / jnp.maximum(n, 1)
 

@@ -195,7 +195,44 @@ class _ARTrainerBase(BaseTrainer):
         # GSPMD. Composes with `param_placement: fsdp` (the remaining large
         # dim shards over 'data' — ZeRO-3+TP, the llama-abs-XXXL layout).
         use_tp = self.mesh.shape.get("model", 1) > 1
-        if placement == "fsdp" or use_tp:
+        # cfg `mesh_pipe: N` (base_trainer mesh) pipelines the transformer
+        # trunk over the 'pipe' axis with a GPipe microbatch schedule
+        # (parallel/pp.py): each device holds n_layer/N layers, activations
+        # hop stages via ppermute over ICI. Exclusive with TP/FSDP; the
+        # trunk must be deterministic (dropouts 0).
+        use_pp = self.mesh.shape.get("pipe", 1) > 1
+        self._pp_apply = None
+        if use_pp:
+            if placement == "fsdp":
+                raise ValueError("mesh_pipe does not compose with "
+                                 "param_placement: fsdp")
+            mc = self.model_cfg
+            if (mc.resid_dropout_p or mc.ffn_dropout_p
+                    or mc.drop_path_rate):
+                raise ValueError(
+                    "pipeline-parallel trunk is deterministic: set "
+                    "resid_dropout_p/ffn_dropout_p/drop_path_rate to 0"
+                )
+            from ..parallel.pp import pp_logits_fn, shard_params_pp
+
+            state["params"] = shard_params_pp(
+                state["params"], self.mesh, mc.n_layer
+            )
+            state["opt"] = self.tx.init(state["params"])
+            state["ema_params"] = {
+                str(d): jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.float32), state["params"]
+                )
+                for d in self.ema_decays
+            }
+            for k in ("step", "rng"):
+                state[k] = jax.device_put(state[k], rep)
+            self.state = state
+            self._pp_apply = pp_logits_fn(
+                self.model, self.mesh,
+                n_microbatch=int(self.cfg.get("pp_microbatches", 2)),
+            )
+        elif placement == "fsdp" or use_tp:
             from ..parallel.fsdp import shard_like_params, shard_params_fsdp
             from ..parallel.tp import larp_ar_param_spec, shard_params_tp
 
@@ -247,6 +284,15 @@ class _ARTrainerBase(BaseTrainer):
         cond, z = self._make_cond_and_targets(vae_params, batch, r_vq)
 
         def loss_fn(params):
+            if self._pp_apply is not None:
+                from ..models.larp_ar import ar_sequence_loss
+
+                logits = self._pp_apply(
+                    params, z[:, :-1], cond, is_train,
+                    rngs={"dropout": r_drop},
+                )
+                nll_sum, n = ar_sequence_loss(logits, z)
+                return nll_sum / jnp.maximum(n, 1), logits
             logits, loss = self.model.apply(
                 {"params": params}, z[:, :-1], cond, targets=z,
                 train=is_train, rngs={"dropout": r_drop},
@@ -311,10 +357,22 @@ class _ARTrainerBase(BaseTrainer):
             _, packed = self._eval_step(self.state, self.vae_params, batch)
         return dict(zip(self._info_keys["eval"], np.asarray(packed).tolist()))
 
+    def _inference_params(self, params=None):
+        """Params in the standard `layers_i` layout for generation / export
+        (the pipeline layout stacks the trunk — parallel/pp.py)."""
+        params = self.state["params"] if params is None else params
+        if self._pp_apply is not None:
+            from ..parallel.pp import unstack_layer_params
+
+            params = unstack_layer_params(
+                params["rest"], params["layers"], self.model_cfg.n_layer
+            )
+        return params
+
     def sample_videos(self, cond, key):
         """cond -> decoded videos [B, C, T, H, W] via compiled generation."""
         seq = generate(
-            self.model, {"params": self.state["params"]}, cond,
+            self.model, {"params": self._inference_params()}, cond,
             self.model.max_seq_length, key,
             cfg_scale=self.cfg_scale, cfg_interval=self.cfg_interval,
             temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
@@ -407,8 +465,26 @@ class _ARTrainerBase(BaseTrainer):
     def state_for_checkpoint(self):
         return self.state
 
+    def export_state_for_final(self):
+        """Final slim export in the standard (non-pipelined) param layout so
+        `from_checkpoint` / sample.py load PP-trained models unchanged.
+        epoch-last stays in the training layout (resume round-trips)."""
+        state = dict(self.state)
+        if self._pp_apply is not None:
+            state["params"] = self._inference_params()
+            state["ema_params"] = {
+                d: self._inference_params(v)
+                for d, v in state["ema_params"].items()
+            }
+        return state
+
     def load_state(self, state):
-        if str(self.cfg.get("param_placement", "replicated")) == "fsdp":
+        sharded = (
+            str(self.cfg.get("param_placement", "replicated")) == "fsdp"
+            or self.mesh.shape.get("model", 1) > 1
+            or self.mesh.shape.get("pipe", 1) > 1
+        )
+        if sharded:
             # re-apply the FSDP layout on resume: restored host arrays would
             # otherwise land replicated and OOM the very models FSDP exists
             # for. self.state already carries the sharded layout from

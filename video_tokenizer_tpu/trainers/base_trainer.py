@@ -81,11 +81,21 @@ class BaseTrainer:
         self.cfg = cfg
         self.is_master = jax.process_index() == 0
         # cfg `mesh_model: N` carves a 2-D (data, model) mesh for tensor
-        # parallelism (parallel/tp.py); default is the reference-equivalent
-        # pure-DP layout (SURVEY.md §2.3).
-        self.mesh = create_mesh(
-            MeshConfig(model=int(cfg.get("mesh_model", 1)))
-        )
+        # parallelism (parallel/tp.py); cfg `mesh_pipe: N` carves a
+        # (data, pipe) mesh for GPipe pipeline parallelism (parallel/pp.py).
+        # Default is the reference-equivalent pure-DP layout (SURVEY.md §2.3).
+        n_model = int(cfg.get("mesh_model", 1))
+        n_pipe = int(cfg.get("mesh_pipe", 1))
+        if n_pipe > 1:
+            if n_model > 1:
+                raise ValueError("mesh_model and mesh_pipe are exclusive")
+            from ..parallel.pp import create_pp_mesh
+
+            self.mesh = create_pp_mesh(
+                data=jax.device_count() // n_pipe, pipe=n_pipe
+            )
+        else:
+            self.mesh = create_mesh(MeshConfig(model=n_model))
         self.save_dir = cfg.get("save_dir", cfg.get("out_path", "save/run"))
         if self.is_master:
             common.ensure_path(self.save_dir)
@@ -261,6 +271,12 @@ class BaseTrainer:
     def state_for_checkpoint(self):
         raise NotImplementedError
 
+    def export_state_for_final(self):
+        """State for the slim `epoch-final` export; trainers whose training
+        layout differs from the inference layout (e.g. pipeline-stacked
+        params) override this to convert."""
+        return self.state_for_checkpoint()
+
     def load_state(self, state):
         raise NotImplementedError
 
@@ -297,7 +313,7 @@ class BaseTrainer:
         strip optimizer/RNG; `model_sd_only` export). Always written, even
         when `latest_interval` never divides `max_epoch`, so every completed
         run leaves a loadable checkpoint."""
-        state = self.state_for_checkpoint()
+        state = self.export_state_for_final()
         keep = {
             k: v for k, v in state.items()
             if k in ("params", "ema_params", "loss_params", "step")

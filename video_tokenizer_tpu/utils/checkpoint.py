@@ -107,4 +107,5 @@ def restore_checkpoint(path: str, target: Any = None) -> Any:
 
 
 def checkpoint_exists(path: str) -> bool:
+    wait_for_pending()  # observe any save dispatched earlier in program order
     return os.path.exists(os.path.join(os.path.abspath(path), "state"))
