@@ -120,7 +120,8 @@ def bench_tokenizer(batch_size: int = 8, iters: int = 20, dtype=jnp.bfloat16):
 
 
 def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
-                      int8: bool = False, int8_kv: bool = False):
+                      int8: bool = False, int8_kv: bool = False,
+                      n_kv_head=None):
     """KV-cache decode throughput on the 632M llama-abs-LP geometry, at the
     flagship workload (1024 codes/video, scripts/train_larp_ar_reproduce.sh).
     int8=True measures the weight-only-quantized serving mode
@@ -136,7 +137,7 @@ def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
     cfg = ModelArgs(
         n_layer=30, n_head=20, dim=1280, vocab_size=8192, num_classes=101,
         max_seq_len=1024, token_dropout_p=0.0, resid_dropout_p=0.0,
-        ffn_dropout_p=0.0,
+        ffn_dropout_p=0.0, n_kv_head=n_kv_head,
     )
     model = LARP_AR(cfg)
     cond = jnp.zeros((batch_size,), jnp.int32)
@@ -218,6 +219,26 @@ def main():
             )
         except Exception as e:
             extras["ar_tokens_per_s_error"] = str(e)
+        try:
+            # batch-scaled serving: b=32 amortizes the per-step weight read
+            # over 4x the emitted tokens (sample.py --batch_size 32)
+            tok_s8kv32 = bench_ar_sampling(batch_size=32, int8=True,
+                                           int8_kv=True)
+            extras["ar_tokens_per_s_int8_kv_b32"] = round(tok_s8kv32, 1)
+            extras["ar_hbm_gbps_int8_kv_b32"] = round(
+                tok_s8kv32 * ar_decode_bytes_per_token(
+                    32, 64, 512.0, 1.0, cache_bytes_per_elem=1.0
+                ) / 1e9, 1,
+            )
+        except Exception as e:
+            extras["ar_b32_error"] = str(e)
+        try:
+            # GQA zoo geometry (n_kv_head = n_head/4): the flash-decode
+            # kernel's grouped-KV path, which also cuts cache traffic 4x
+            tok_gqa = bench_ar_sampling(n_kv_head=5)
+            extras["ar_tokens_per_s_gqa4"] = round(tok_gqa, 1)
+        except Exception as e:
+            extras["ar_gqa_error"] = str(e)
 
     print(json.dumps({
         "metric": "tokenizer_encode_decode_throughput",
