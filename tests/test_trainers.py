@@ -123,6 +123,33 @@ class TestTokenizerTrainer:
         # EMA state survives
         assert "0.999" in tr2.state["ema_params"]
 
+    def test_tp_tokenizer_matches_replicated(self, tmp_path):
+        """cfg `mesh_model: 2` on the tokenizer GAN trainer: Megatron TP
+        over the ViT stacks (parallel/tp.py:vit_param_spec) reproduces the
+        pure-DP loss trajectory, and qkv kernels carry 'model' shardings."""
+        losses = {}
+        for name, over in (("dp", {}), ("tp", {"mesh_model": 2})):
+            tr = trainers.make(
+                {"name": "larp_tokenizer_trainer"},
+                args={"cfg": _tok_cfg(tmp_path / name, **over)},
+            )
+            tr.make_datasets()
+            tr.n_steps_per_epoch = 4
+            tr.epoch = 1
+            tr.make_model()
+            traj = []
+            for _ in range(2):
+                traj.append(
+                    _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))["loss"]
+                )
+            losses[name] = traj
+            if name == "tp":
+                assert tr.mesh.shape["model"] == 2
+                qkv = tr.state["params"]["encoder"]["blocks_0"][
+                    "attn"]["qkv"]["kernel"]
+                assert "model" in str(qkv.sharding.spec)
+        np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=2e-4)
+
     def test_disc_update_freq_gating(self, tmp_path):
         cfg = _tok_cfg(tmp_path)
         cfg["loss"]["args"]["d_update_freq"] = 1000  # never on these steps

@@ -50,6 +50,34 @@ def larp_ar_param_spec(path) -> P:
     return P()  # replicated
 
 
+def vit_param_spec(path) -> P:
+    """PartitionSpec for a tokenizer ViT-stack parameter
+    (models/transformer.py naming: attn/{qkv,proj}, mlp/{fc1,fc2}).
+    Standard Megatron split: qkv + fc1 column-parallel, attn-proj + fc2
+    row-parallel; column-parallel biases shard with their outputs; every
+    other leaf (LN, patchify, PEs, VQ codebook, query tokens) replicated —
+    they are tiny next to the block matmuls."""
+    keys = [p.key for p in path if hasattr(p, "key")]
+    last = keys[-1] if keys else ""
+    if "qkv" in keys or "fc1" in keys:
+        return P(None, "model") if last == "kernel" else P("model")
+    if ("proj" in keys and "attn" in keys) or "fc2" in keys:
+        return P("model", None) if last == "kernel" else P()
+    return P()
+
+
+def shard_params_tp_vit(params: Any, mesh: Mesh) -> Any:
+    """Place tokenizer params with Megatron TP shardings over `mesh`."""
+
+    def place(path, leaf):
+        spec = vit_param_spec(path)
+        if len(spec) > len(getattr(leaf, "shape", ())):
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 # --------------------------------------------------------- sequence parallel
 
 _seq_parallel = threading.local()

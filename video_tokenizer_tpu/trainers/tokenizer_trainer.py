@@ -198,13 +198,26 @@ class LARPTokenizerTrainer(BaseTrainer):
         # shard over 'data' (ZeRO via GSPMD — parallel/fsdp.py). The
         # discriminator (loss_params, ~30M) stays replicated: its gather
         # would cost more than it saves. Default: replicated (= reference).
-        if str(self.cfg.get("param_placement", "replicated")) == "fsdp":
+        # cfg `mesh_model: N` (base_trainer mesh) additionally applies
+        # Megatron TP specs to the ViT stacks (parallel/tp.py:vit_param_spec)
+        # — qkv/fc1 column-parallel, proj/fc2 row-parallel, collectives
+        # inserted by GSPMD. Composes with fsdp like the AR trainer.
+        placement = str(self.cfg.get("param_placement", "replicated"))
+        use_tp = self.mesh.shape.get("model", 1) > 1
+        if placement == "fsdp" or use_tp:
             from ..parallel.fsdp import shard_like_params, shard_params_fsdp
+            from ..parallel.tp import shard_params_tp_vit, vit_param_spec
 
             min_size = int(self.cfg.get("fsdp_min_size", 2**16))
-            state["params"] = shard_params_fsdp(
-                state["params"], self.mesh, min_size=min_size
-            )
+            if placement == "fsdp":
+                state["params"] = shard_params_fsdp(
+                    state["params"], self.mesh, min_size=min_size,
+                    tp_spec_fn=vit_param_spec if use_tp else None,
+                )
+            else:
+                state["params"] = shard_params_tp_vit(
+                    state["params"], self.mesh
+                )
             state["opt_g"] = shard_like_params(
                 state["opt_g"], state["params"], self.mesh
             )
@@ -556,8 +569,12 @@ class LARPTokenizerTrainer(BaseTrainer):
         return self.state
 
     def load_state(self, state):
-        if str(self.cfg.get("param_placement", "replicated")) == "fsdp":
-            # re-apply the FSDP layout from make_model on resume
+        sharded = (
+            str(self.cfg.get("param_placement", "replicated")) == "fsdp"
+            or self.mesh.shape.get("model", 1) > 1
+        )
+        if sharded:
+            # re-apply the FSDP/TP layout from make_model on resume
             self.state = jax.tree_util.tree_map(
                 lambda cur, new: jax.device_put(new, cur.sharding),
                 self.state, state,
