@@ -27,8 +27,11 @@ def _meta_path(path: str) -> str:
 # One long-lived async checkpointer: `ocp.StandardCheckpointer` is an
 # AsyncCheckpointer, so a save dispatches the serialization + disk write to a
 # background thread and `wait_until_finished` joins it. At most one save is
-# in flight at a time (each save waits out the previous one).
+# in flight at a time (each save waits out the previous one). `_META_THREAD`
+# publishes meta.json strictly AFTER the state commit, so no reader — even
+# another process — can observe a meta.json whose state dir is absent.
 _CKPTR: Optional[ocp.StandardCheckpointer] = None
+_META_THREAD = None
 
 
 def _checkpointer() -> ocp.StandardCheckpointer:
@@ -38,14 +41,23 @@ def _checkpointer() -> ocp.StandardCheckpointer:
 
         _CKPTR = ocp.StandardCheckpointer()
         # interpreter teardown must not abandon an in-flight write
-        atexit.register(_CKPTR.wait_until_finished)
+        atexit.register(wait_for_pending)
     return _CKPTR
 
 
 def wait_for_pending():
-    """Block until any in-flight async save has committed."""
+    """Block until any in-flight async save has committed (state + meta)."""
+    global _META_THREAD
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
+    if _META_THREAD is not None:
+        _META_THREAD.join()
+        _META_THREAD = None
+
+
+def _write_meta(path: str, meta: Dict[str, Any]):
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
 
 
 def save_checkpoint(
@@ -61,20 +73,31 @@ def save_checkpoint(
     hands the disk write to a background thread (the reference's torch.save
     always blocks the epoch loop; see base_trainer.py:783-891). The snapshot
     is a host-side numpy copy, so donated device buffers reused by the next
-    jitted step cannot corrupt an in-flight write. Orbax commits via
-    tmp-dir + atomic rename, so `checkpoint_exists` never sees a partial
-    checkpoint; a crash mid-write leaves the destination absent, not torn.
+    jitted step cannot corrupt an in-flight write. Orbax commits the state
+    dir via tmp-dir + atomic rename, and meta.json is published only after
+    that commit, so readers never see a partial or meta-only checkpoint; a
+    crash mid-write leaves the destination absent, not torn.
     """
+    global _META_THREAD
     path = os.path.abspath(path)
     ckptr = _checkpointer()
-    ckptr.wait_until_finished()
+    wait_for_pending()
     state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
     ckptr.save(os.path.join(path, "state"), state, force=force)
+    write_meta = meta is not None and jax.process_index() == 0
     if block:
         ckptr.wait_until_finished()
-    if meta is not None and jax.process_index() == 0:
-        with open(_meta_path(path), "w") as f:
-            json.dump(meta, f, indent=2, default=str)
+        if write_meta:
+            _write_meta(path, meta)
+    elif write_meta:
+        import threading
+
+        def _publish():
+            ckptr.wait_until_finished()
+            _write_meta(path, meta)
+
+        _META_THREAD = threading.Thread(target=_publish, daemon=False)
+        _META_THREAD.start()
 
 
 def load_meta(path: str) -> Dict[str, Any]:
