@@ -137,6 +137,10 @@ def pp_logits_fn(model, mesh: Mesh, n_microbatch: int):
             def body(x, lp):
                 return blk.apply({"params": lp}, x), None
 
+            if getattr(cfg, "remat", False):
+                # gradient checkpointing per layer: the GPipe backward
+                # recomputes each block instead of storing its activations
+                body = jax.checkpoint(body)
             return jax.lax.scan(body, x, stacked)[0]
 
         perm = [(i, i + 1) for i in range(n_stages - 1)]

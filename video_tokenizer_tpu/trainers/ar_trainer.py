@@ -215,13 +215,19 @@ class _ARTrainerBase(BaseTrainer):
                 )
             from ..parallel.pp import pp_logits_fn, shard_params_pp
 
-            state["params"] = shard_params_pp(
-                state["params"], self.mesh, mc.n_layer
-            )
+            raw = state["params"]
+            state["params"] = shard_params_pp(raw, self.mesh, mc.n_layer)
             state["opt"] = self.tx.init(state["params"])
+            # EMA rebuilt from a fp32 HOST copy through shard_params_pp:
+            # guarantees fresh device buffers in the same pipe layout — an
+            # astype/alias of state['params'] would double-donate the same
+            # buffer through the jitted step's donate_argnums.
             state["ema_params"] = {
-                str(d): jax.tree_util.tree_map(
-                    lambda p: p.astype(jnp.float32), state["params"]
+                str(d): shard_params_pp(
+                    jax.tree_util.tree_map(
+                        lambda p: np.asarray(p, np.float32), raw
+                    ),
+                    self.mesh, mc.n_layer,
                 )
                 for d in self.ema_decays
             }
@@ -359,7 +365,9 @@ class _ARTrainerBase(BaseTrainer):
 
     def _inference_params(self, params=None):
         """Params in the standard `layers_i` layout for generation / export
-        (the pipeline layout stacks the trunk — parallel/pp.py)."""
+        (the pipeline layout stacks the trunk — parallel/pp.py). Costs one
+        cross-'pipe' gather of the trunk; called once per visualization
+        epoch / final export, not in the training hot path."""
         params = self.state["params"] if params is None else params
         if self._pp_apply is not None:
             from ..parallel.pp import unstack_layer_params

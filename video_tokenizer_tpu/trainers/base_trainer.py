@@ -409,14 +409,27 @@ class BaseTrainer:
         except (ValueError, OSError):
             pass
 
+    def _maybe_preempt(self):
+        """Checkpoint + clean-exit if a SIGTERM flag is pending. Called at
+        every step boundary AND between the epoch's phases (eval / vis /
+        saves can run for minutes — a flag raised there must not wait for
+        the next epoch's first training step)."""
+        if getattr(self, "_preempt_requested", False):
+            self._checkpoint_on_preempt()
+
     def _checkpoint_on_preempt(self):
-        """Save a resumable epoch-last mid-epoch and exit cleanly. The meta
+        """Save a resumable epoch-last and exit cleanly. Mid-epoch, the meta
         epoch is rolled back one so `try_resume` replays the interrupted
         epoch from its start (data order is epoch-seeded, so the replay is
         deterministic; re-training a partial epoch is the standard
-        trade-off for step-granular preemption safety)."""
+        trade-off for step-granular preemption safety). If this epoch's
+        training already completed (preempt during eval/vis/save), no
+        rollback — resume continues with the next epoch."""
         meta = self.checkpoint_meta()
-        meta["epoch"] = self.epoch - 1
+        meta["epoch"] = (
+            self.epoch if getattr(self, "_epoch_complete", False)
+            else self.epoch - 1
+        )
         meta["preempted"] = True
         path = os.path.join(self.save_dir, "epoch-last")
         ckpt_lib.save_checkpoint(path, self.state_for_checkpoint(), meta)
@@ -446,19 +459,25 @@ class BaseTrainer:
             self.t_data, self.t_model = 0.0, 0.0
 
             st = time.time()
+            self._epoch_complete = False
             self.train_epoch()
+            self._epoch_complete = True
             self.log(f"Epoch {epoch} training done. Time: {time.time()-st:.2f}s")
+            self._maybe_preempt()
 
             if epoch % eval_epoch == 0:
                 self.evaluate_epoch()
+                self._maybe_preempt()
             if epoch % vis_epoch == 0:
                 self.visualize_epoch()
+                self._maybe_preempt()
             if epoch % save_epoch == 0:
                 self.save_checkpoint(f"epoch-{epoch}")
             if epoch % latest_interval == 0:
                 self.save_checkpoint(
                     "epoch-last", save_best=bool(cfg.get("save_best", False))
                 )
+            self._maybe_preempt()
 
             epoch_time, tot_time, est_time = timer.epoch_done()
             d_ratio = self.t_data / (self.t_data + self.t_model + 1e-6)
@@ -503,8 +522,7 @@ class BaseTrainer:
             batch_dev = shard_batch(self.mesh, {"gt": batch["gt"], "label": batch.get("label", np.zeros(len(batch["gt"])))})
             ret = self.train_step(batch_dev)
             self.t_model += time.time() - t0
-            if getattr(self, "_preempt_requested", False):
-                self._checkpoint_on_preempt()
+            self._maybe_preempt()
             B = len(batch["gt"])
             if isinstance(ret, tuple):
                 # deferred device telemetry: no host sync inside the epoch,
@@ -542,6 +560,7 @@ class BaseTrainer:
                     {"gt": batch["gt"], "label": batch.get("label", np.zeros(len(batch["gt"])))},
                 )
                 ret = self.evaluate_step(batch_dev)
+                self._maybe_preempt()
                 B = len(batch["gt"])
                 for k, v in ret.items():
                     ave.setdefault(k, common.Averager()).add(float(v), n=B)

@@ -56,8 +56,12 @@ def wait_for_pending():
 
 
 def _write_meta(path: str, meta: Dict[str, Any]):
-    with open(_meta_path(path), "w") as f:
+    # tmp + atomic rename: a crash mid-dump must not leave a committed
+    # state dir next to a torn meta.json (that would fail every resume)
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2, default=str)
+    os.replace(tmp, _meta_path(path))
 
 
 def save_checkpoint(
