@@ -63,6 +63,8 @@ def ar_decode_bytes_per_token(emit_batch: int, cache_batch: int,
     prefix of every layer's K+V cache. cache_batch > emit_batch under CFG
     (batch doubling). The decode loop is bandwidth-bound, so
     tokens/s * bytes/token ~= achieved HBM GB/s."""
+    # NOTE: this llama-abs-LP geometry is mirrored in tools/profile_decode.py
+    # — keep the two in sync when changing the serving model
     n_layer, dim, vocab = 30, 1280, 8192
     hidden = 3456  # SwiGLU 2/3*4d rounded to multiple of 256
     proj_params = n_layer * (

@@ -78,15 +78,39 @@ def pca_subspace_basis(tokens: jax.Array, r: int = 32, center: bool = True):
     return jnp.swapaxes(vh[:, :r, :], 1, 2)
 
 
+def _degenerate_dummy(K: int, D: int) -> jax.Array:
+    """[K, D] matrix with DISTINCT singular values 1..min(K,D): a safe SVD
+    input substituted for degenerate samples (see below)."""
+    n = min(K, D)
+    idx = jnp.arange(n)
+    return jnp.zeros((K, D)).at[idx, idx].set(jnp.arange(1.0, n + 1.0))
+
+
 def subspace_alignment_loss(u_tokens: jax.Array, v_tokens: jax.Array,
-                            r: int = 32) -> jax.Array:
+                            r: int = 32, var_eps: float = 1e-8) -> jax.Array:
     """Principal-subspace similarity: r - ||Bu^T Bv||_F^2, batch-averaged
     (reference model_cnnvit/autoencoder.py:516-527). Zero when the two
-    r-dim subspaces coincide."""
+    r-dim subspaces coincide.
+
+    Degenerate samples — (near-)constant token sets, e.g. clips of black
+    padding frames — have coincident singular values, where the SVD JVP's
+    1/(s_i^2 - s_j^2) factors are inf/NaN and one bad sample would poison
+    every gradient. Such samples are swapped for a well-conditioned dummy
+    BEFORE the SVD (a post-hoc `where` cannot un-NaN the cotangent) and
+    masked out of the batch average."""
+    ok = (
+        (jnp.var(u_tokens, axis=(1, 2)) > var_eps)
+        & (jnp.var(v_tokens, axis=(1, 2)) > var_eps)
+    )
+    du = _degenerate_dummy(*u_tokens.shape[1:])[None]
+    dv = _degenerate_dummy(*v_tokens.shape[1:])[None]
+    u_tokens = jnp.where(ok[:, None, None], u_tokens, du)
+    v_tokens = jnp.where(ok[:, None, None], v_tokens, dv)
     bu = pca_subspace_basis(u_tokens, r=r)
     bv = pca_subspace_basis(v_tokens, r=r)
     m = jnp.einsum("bdr,bds->brs", bu, bv)
-    return jnp.mean(m.shape[1] - jnp.sum(m**2, axis=(1, 2)))
+    per_sample = m.shape[1] - jnp.sum(m**2, axis=(1, 2))
+    return jnp.sum(per_sample * ok) / jnp.maximum(jnp.sum(ok), 1)
 
 
 def off_diagonal(x: jax.Array) -> jax.Array:

@@ -395,6 +395,10 @@ def decode_attention(
     bc = batch_chunk or _pick_batch_chunk(B)
     if block_s is None:
         block_s = _pick_block_s(S, int(5.5 * (1 << 20)), bc * KV * 4)
+    elif S % block_s != 0:
+        # an explicit override must tile S exactly: a clamped final-block
+        # DMA would read misaligned cache rows under wrong position labels
+        raise ValueError(f"block_s={block_s} does not divide S={S}")
     if (not use_pallas or (H * D) % KV != 0 or KV % 128 != 0 or block_s == 0
             or bc == 0 or bc % 8 != 0 or B % bc != 0 or B > 128):
         return xla_decode_attention(

@@ -80,12 +80,14 @@ class _ARTrainerBase(BaseTrainer):
         ckpt_path = str(vae_cfg.get("checkpoint", "")).strip("'\"")
         if ckpt_path and not ckpt_lib.checkpoint_exists(ckpt_path):
             # hub-id fallback (reference larp_ar_trainer loads the frozen
-            # tokenizer via from_pretrained when the path is not local)
-            from ..utils.model_io import hub_cache_dir
+            # tokenizer via from_pretrained when the path is not local) —
+            # same resolution rules as sample.py (model_io.resolve_pretrained)
+            from ..utils.model_io import resolve_pretrained
 
-            cand = hub_cache_dir() / ckpt_path.replace("/", "--")
-            if ckpt_lib.checkpoint_exists(str(cand)):
-                ckpt_path = str(cand)
+            try:
+                ckpt_path = resolve_pretrained(ckpt_path)
+            except FileNotFoundError:
+                pass  # fall through to the explicit error below
         if ckpt_path and ckpt_lib.checkpoint_exists(ckpt_path):
             meta = ckpt_lib.load_meta(ckpt_path)
             model_spec = meta["model"] if "model" in meta else meta["cfg"]["model"]
