@@ -150,6 +150,30 @@ class TestTokenizerTrainer:
                 assert "model" in str(qkv.sharding.spec)
         np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=2e-4)
 
+    def test_fsdp_tp_composed_tokenizer_step(self, tmp_path):
+        """param_placement fsdp + mesh_model 2 on the tokenizer GAN trainer:
+        ZeRO-3 over 'data' composed with ViT Megatron TP over 'model'."""
+        tr = trainers.make(
+            {"name": "larp_tokenizer_trainer"},
+            args={"cfg": _tok_cfg(
+                tmp_path, mesh_model=2, param_placement="fsdp",
+                fsdp_min_size=512,
+            )},
+        )
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.epoch = 1
+        tr.make_model()
+        info = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
+        assert np.isfinite(info["loss"])
+        spec = str(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda p: str(p.sharding.spec),
+                tr.state["params"]["encoder"]["blocks_0"]["attn"],
+            )
+        ))
+        assert "model" in spec and "data" in spec
+
     def test_disc_update_freq_gating(self, tmp_path):
         cfg = _tok_cfg(tmp_path)
         cfg["loss"]["args"]["d_update_freq"] = 1000  # never on these steps
@@ -274,6 +298,23 @@ class TestARTrainer:
                 model, params = load_model_from_checkpoint(final)
                 assert "layers_1" in params  # standard layout restored
         np.testing.assert_allclose(losses["dp"], losses["pp"], rtol=2e-4)
+
+    def test_pp_resume_roundtrip(self, tmp_path):
+        """mesh_pipe resume: epoch-last stays in the stacked pipeline
+        layout and try_resume re-applies the pipe shardings."""
+        cfg = _ar_cfg(tmp_path, mesh_pipe=2, pp_microbatches=2)
+        cfg["model"]["args"]["n_layer"] = 2
+        tr = _make_ar_trainer(cfg)
+        tr.train_step(shard_batch(tr.mesh, _batch()))
+        step_after = int(tr.state["step"])
+        tr.save_checkpoint("epoch-last")
+
+        tr2 = _make_ar_trainer(cfg)
+        assert tr2.try_resume()
+        assert int(tr2.state["step"]) == step_after
+        layers = tr2.state["params"]["layers"]
+        leaf = jax.tree_util.tree_leaves(layers)[0]
+        assert "pipe" in str(leaf.sharding.spec)
 
     def test_fsdp_tp_composed_trainer_step(self, tmp_path):
         """param_placement fsdp + mesh_model 2: ZeRO-3 over 'data' composed
