@@ -124,11 +124,15 @@ class TestTokenizerTrainer:
         assert "0.999" in tr2.state["ema_params"]
 
     def test_tp_tokenizer_matches_replicated(self, tmp_path):
-        """cfg `mesh_model: 2` on the tokenizer GAN trainer: Megatron TP
-        over the ViT stacks (parallel/tp.py:vit_param_spec) reproduces the
+        """cfg `mesh_model: 2` + `sequence_parallel: true` on the tokenizer
+        GAN trainer: Megatron TP+SP over the ViT stacks
+        (parallel/tp.py:vit_param_spec + seq_constraint) reproduces the
         pure-DP loss trajectory, and qkv kernels carry 'model' shardings."""
         losses = {}
-        for name, over in (("dp", {}), ("tp", {"mesh_model": 2})):
+        for name, over in (
+            ("dp", {}),
+            ("tp", {"mesh_model": 2, "sequence_parallel": True}),
+        ):
             tr = trainers.make(
                 {"name": "larp_tokenizer_trainer"},
                 args={"cfg": _tok_cfg(tmp_path / name, **over)},

@@ -103,14 +103,19 @@ class ViTStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..parallel.tp import seq_constraint
+
         block_cls = ViTBlock
         if self.remat:
             block_cls = nn.remat(ViTBlock)
         for i in range(self.depth):
-            x = block_cls(
+            # Megatron-SP hook: identity unless tracing under
+            # parallel.tp.sequence_parallel(mesh) — then inter-block
+            # activations shard over 'model' on the sequence dim
+            x = seq_constraint(block_cls(
                 self.dim, self.num_heads, dtype=self.dtype,
                 use_pallas=self.use_pallas, name=f"blocks_{i}",
-            )(x)
+            )(x))
         return x
 
 

@@ -337,22 +337,6 @@ class _ARTrainerBase(BaseTrainer):
 
     # ------------------------------------------------------------ loop hooks
 
-    def _sp_ctx(self):
-        """cfg `sequence_parallel: true` (with mesh_model > 1): trace the
-        jitted steps under parallel.tp.sequence_parallel so inter-block
-        activations shard over 'model' on the sequence dim (Megatron-SP).
-        The constraint bakes in at trace time; entering the context on every
-        call is a no-op afterwards."""
-        if bool(self.cfg.get("sequence_parallel", False)) and (
-            self.mesh.shape.get("model", 1) > 1
-        ):
-            from ..parallel.tp import sequence_parallel
-
-            return sequence_parallel(self.mesh)
-        import contextlib
-
-        return contextlib.nullcontext()
-
     def train_step(self, batch):
         with self._sp_ctx():
             self.state, packed = self._train_step(

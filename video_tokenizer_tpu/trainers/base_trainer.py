@@ -409,6 +409,24 @@ class BaseTrainer:
         except (ValueError, OSError):
             pass
 
+    def _sp_ctx(self):
+        """cfg `sequence_parallel: true` (with mesh_model > 1): trace the
+        jitted steps under parallel.tp.sequence_parallel so inter-block
+        activations shard over 'model' on the sequence dim (Megatron-SP).
+        The constraint bakes in at trace time; entering the context on every
+        call is a no-op afterwards. Honored by any model whose blocks call
+        parallel.tp.seq_constraint (the AR trunk and the tokenizer ViT
+        stacks)."""
+        if bool(self.cfg.get("sequence_parallel", False)) and (
+            self.mesh.shape.get("model", 1) > 1
+        ):
+            from ..parallel.tp import sequence_parallel
+
+            return sequence_parallel(self.mesh)
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def _maybe_preempt(self):
         """Checkpoint + clean-exit if a SIGTERM flag is pending. Called at
         every step boundary AND between the epoch's phases (eval / vis /

@@ -457,16 +457,18 @@ class LARPTokenizerTrainer(BaseTrainer):
     # ------------------------------------------------------------ loop hooks
 
     def train_step(self, batch):
-        self.state, packed = self._train_step(
-            self.state, batch, jnp.asarray(self.epoch, jnp.int32)
-        )
+        with self._sp_ctx():
+            self.state, packed = self._train_step(
+                self.state, batch, jnp.asarray(self.epoch, jnp.int32)
+            )
         # return the DEVICE array; the epoch loop fetches once at the end
         return (self._info_keys["train"], packed)
 
     def evaluate_step(self, batch):
-        _, packed = self._eval_step(
-            self.state, batch, jnp.asarray(self.epoch, jnp.int32)
-        )
+        with self._sp_ctx():
+            _, packed = self._eval_step(
+                self.state, batch, jnp.asarray(self.epoch, jnp.int32)
+            )
         info = dict(zip(self._info_keys["eval"], np.asarray(packed).tolist()))
         if self.fvd_calc is not None and batch["gt"].shape[2] >= 10:
             gt = common.video_to_float(batch["gt"])
