@@ -255,10 +255,17 @@ class Attention(nn.Module):
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
         if cond_mask is not None:
-            q_seg = jnp.zeros((B, S), jnp.int32)
-            k_seg = jnp.where(cond_mask, 0, -5).astype(jnp.int32)
+            # masked positions get their own segment so a masked QUERY still
+            # has valid keys (the other masked causal positions, incl.
+            # itself) — otherwise an all-masked row degenerates to uniform
+            # attention over everything. The reference instead restores the
+            # diagonal (ar/generate.py:158-160, causal*(1-eye)+eye); both
+            # schemes keep masked positions isolated from valid ones, so
+            # sampled tokens are identical — only the (never-read) hidden
+            # states AT masked positions differ.
+            seg = jnp.where(cond_mask, 0, -5).astype(jnp.int32)
             out = attention(
-                q, k, v, causal=True, segment_ids=q_seg, kv_segment_ids=k_seg
+                q, k, v, causal=True, segment_ids=seg, kv_segment_ids=seg
             ).reshape(B, S, -1)
         else:
             out = attention(q, k, v, causal=True).reshape(B, S, -1)

@@ -57,7 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+from .attention import DEFAULT_MASK_VALUE  # single shared mask sentinel
 
 
 def _quantize_rows(rows: jax.Array):
@@ -87,6 +87,11 @@ def _decode_kernel(
     v_hbm,  # [B, S, KV] ANY
     bias_hbm,  # [S, 128] fp32 ANY (0 valid / -inf-ish invalid; batch in
     #            the first B lanes, lane dim padded to the 128 tile)
+    #            TODO(perf): when key_valid is None (the dominant class-
+    #            conditional serving path) this operand is an all-zeros
+    #            plane whose DMA + lane-pick costs ~0.5-1% of cache
+    #            traffic — a static no-bias kernel variant would skip it;
+    #            needs TPU hardware to validate (no interpret-mode tests)
     *rest,
     sm_scale: float,
     block_s: int,
@@ -321,7 +326,10 @@ def xla_decode_attention(q, k_cache, v_cache, pos, key_valid=None,
     valid = jnp.arange(S)[None, None, None, :] <= pos
     if key_valid is not None:
         valid = jnp.logical_and(valid, key_valid[:, None, None, :])
-    scores = jnp.where(valid, scores, -jnp.inf)
+    # finite sentinel (same as the Pallas kernel): an all-masked row then
+    # degrades to uniform-garbage like the kernel instead of NaN — the two
+    # dispatch targets of the public op must agree
+    scores = jnp.where(valid, scores, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
         probs = probs * v_scale[:, :B].T[:, None, None, :]
@@ -393,6 +401,13 @@ def decode_attention(
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
     bc = batch_chunk or _pick_batch_chunk(B)
+    if batch_chunk is not None and (bc % 8 != 0 or B % bc != 0):
+        # an explicit override must not silently fall back to XLA — that
+        # would label fallback timings as Pallas configs in tile sweeps
+        raise ValueError(
+            f"batch_chunk={batch_chunk} invalid for B={B}: needs "
+            "batch_chunk % 8 == 0 and B % batch_chunk == 0"
+        )
     if block_s is None:
         block_s = _pick_block_s(S, int(5.5 * (1 << 20)), bc * KV * 4)
     elif S % block_s != 0:

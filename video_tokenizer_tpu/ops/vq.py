@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+from .attention import DEFAULT_MASK_VALUE as NEG_INF  # shared sentinel
 
 
 def _round_up(x: int, m: int) -> int:
