@@ -61,3 +61,51 @@ class TestRingAttention:
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g_ring, g_ref):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_pallas_lse_custom_vjp_plumbing(monkeypatch):
+    """attention_with_lse's Pallas path carries a custom VJP whose backward
+    recomputes through the XLA (out, lse) attention — without it, ring
+    attention would be untrainable on TPU (raw pallas_call has no AD rule).
+    The pallas forward can't execute on CPU, so route the impl through the
+    XLA forward: this exercises exactly the custom_vjp machinery (residuals,
+    int-segment float0 cotangents, the lse cotangent path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import importlib
+
+    A = importlib.import_module("video_tokenizer_tpu.ops.attention")
+
+    def impl(q, k, v, q_seg, k_seg, has_segments, causal, scale,
+             block_q, block_k, causal_offset):
+        seg = q_seg[:, 0, :] if has_segments else None
+        kseg = k_seg[:, 0, :] if has_segments else None
+        return A._xla_attention_lse(
+            q, k, v, causal, seg, kseg, scale, causal_offset
+        )
+
+    monkeypatch.setattr(A, "_pallas_lse_impl", impl)
+
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (2, 16, 2, 8))
+        for i in range(3)
+    )
+    seg = jnp.zeros((2, 16), jnp.int32).at[:, 12:].set(1)
+    w = jax.random.normal(jax.random.fold_in(key, 9), (2, 16, 2, 8))
+
+    def loss(use_pallas):
+        def f(q, k, v):
+            out, lse = A.attention_with_lse(
+                q, k, v, causal=True, segment_ids=seg,
+                use_pallas=use_pallas,
+            )
+            return jnp.sum(out * w) + 0.1 * jnp.sum(lse)
+        return f
+
+    g_pallas = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -12,7 +12,12 @@ Design notes (TPU-first):
     comfortably fits); the grid tiles only the query dimension, so there is no
     K-block re-streaming from HBM.
   * `segment_ids` replaces the CUDA varlen `cu_seqlens` path: packed sequences
-    use per-token integer ids; cross-segment pairs are masked. Padding uses id<0.
+    use per-token integer ids; pairs attend iff their ids are EQUAL (pure
+    equality — negative ids are not special). To mask padding from everything,
+    give the padded QUERIES and KEYS distinct ids (internal pads use -1 for q
+    vs -2 for k so they never match each other); a query whose id matches no
+    key degenerates to uniform attention with zero custom-VJP grads — always
+    give such rows at least a self-matching key.
   * Causal masking is positional (global indices), composed with segment masks.
   * Training: custom VJP with Pallas dq and dkv kernels (flash backward).
 
@@ -424,26 +429,13 @@ def xla_attention(
     kv_segment_ids=None,
     sm_scale: Optional[float] = None,
 ):
-    """Reference/fallback attention in pure XLA. q,k,v: [B, S, H, D]."""
-    B, Sq, H, D = q.shape
-    Sk = k.shape[1]
+    """Reference/fallback attention in pure XLA. q,k,v: [B, S, H, D].
+    One body with `_xla_attention_lse` so masking fixes apply once."""
+    D = q.shape[-1]
     scale = sm_scale if sm_scale is not None else D ** -0.5
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
-    ) * scale
-    mask = jnp.ones((B, 1, Sq, Sk), dtype=bool)
-    if causal:
-        q_pos = jnp.arange(Sq)[:, None] + (Sk - Sq)
-        k_pos = jnp.arange(Sk)[None, :]
-        mask = jnp.logical_and(mask, (q_pos >= k_pos)[None, None])
-    if segment_ids is not None:
-        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
-        seg_mask = segment_ids[:, None, :, None] == kv_seg[:, None, None, :]
-        mask = jnp.logical_and(mask, seg_mask)
-    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    return _xla_attention_lse(
+        q, k, v, causal, segment_ids, kv_segment_ids, scale
+    )[0]
 
 
 def attention_with_lse(
@@ -486,6 +478,15 @@ def attention_with_lse(
             if kv_segment_ids is not None else q_seg
         )
         has_segments = True
+    return _pallas_attention_lse(
+        q, k, v, q_seg, k_seg, has_segments, causal, scale, block_q,
+        block_k, causal_offset,
+    )
+
+
+def _pallas_lse_impl(q, k, v, q_seg, k_seg, has_segments, causal, scale,
+                     block_q, block_k, causal_offset):
+    Sq = q.shape[1]
     q_t = jnp.swapaxes(q, 1, 2)
     k_t = jnp.swapaxes(k, 1, 2)
     v_t = jnp.swapaxes(v, 1, 2)
@@ -494,6 +495,48 @@ def attention_with_lse(
         has_segments, causal_offset=causal_offset,
     )
     return jnp.swapaxes(out, 1, 2), lse[:, :, 0, :Sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _pallas_attention_lse(q, k, v, q_seg, k_seg, has_segments, causal,
+                          scale, block_q, block_k, causal_offset):
+    """Differentiable (out, lse) flash attention: Pallas forward, with a
+    backward that recomputes through `_xla_attention_lse` (so cotangents of
+    BOTH out and lse are handled — blockwise/ring merges differentiate
+    through lse). The raw pallas_call has no AD rule; without this wrapper
+    ring attention would be untrainable on TPU."""
+    return _pallas_lse_impl(q, k, v, q_seg, k_seg, has_segments, causal,
+                            scale, block_q, block_k, causal_offset)
+
+
+def _pallas_lse_fwd(q, k, v, q_seg, k_seg, has_segments, causal, scale,
+                    block_q, block_k, causal_offset):
+    out = _pallas_lse_impl(q, k, v, q_seg, k_seg, has_segments, causal,
+                           scale, block_q, block_k, causal_offset)
+    return out, (q, k, v, q_seg, k_seg)
+
+
+def _pallas_lse_bwd(has_segments, causal, scale, block_q, block_k,
+                    causal_offset, res, cts):
+    import numpy as _np
+
+    q, k, v, q_seg, k_seg = res
+    seg = q_seg[:, 0, :] if has_segments else None
+    kv_seg = k_seg[:, 0, :] if has_segments else None
+
+    def f(q, k, v):
+        return _xla_attention_lse(
+            q, k, v, causal, seg, kv_seg, scale, causal_offset
+        )
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(cts)
+    zero_seg = _np.zeros(q_seg.shape, jax.dtypes.float0)
+    zero_kseg = _np.zeros(k_seg.shape, jax.dtypes.float0)
+    return dq, dk, dv, zero_seg, zero_kseg
+
+
+_pallas_attention_lse.defvjp(_pallas_lse_fwd, _pallas_lse_bwd)
 
 
 def _xla_attention_lse(q, k, v, causal, segment_ids, kv_segment_ids,

@@ -29,10 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attention import DEFAULT_MASK_VALUE as NEG_INF  # shared sentinel
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from .attention import _round_up
 
 
 def _vq_kernel(
@@ -149,7 +146,8 @@ def vq_lookup_xla(
         s = s + score_bias.astype(jnp.float32)[None, :]
     if stochastic:
         s = s * inv_temp
-        assert key is not None, "stochastic XLA lookup needs a PRNG key"
+        if key is None:
+            raise ValueError("stochastic VQ lookup needs a PRNG key")
         g = jax.random.gumbel(key, s.shape, jnp.float32)
         s = s + g
     return jnp.argmax(s, axis=-1).astype(jnp.int32)
@@ -188,7 +186,8 @@ def vq_lookup(
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         if stochastic:
-            assert key is not None
+            if key is None:
+                raise ValueError("stochastic VQ lookup needs a PRNG key")
             seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
         else:
             seed = 0
