@@ -125,6 +125,10 @@ def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k,
     """q: [B,H,Sq,D], k/v: [B,H,Sk,D], segs: [B,1,S]. Returns out, lse[B,H,1,Sq_p]."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
+    # TODO(perf, needs TPU to validate): rounding Sk up to a full block_k
+    # multiple can nearly double K/V HBM+VMEM traffic when Sk slightly
+    # exceeds a block boundary (e.g. Sk=3200 -> Sk_p=6144); picking block_k
+    # as a divisor of round_up(Sk, 128) would make the padding <=127 rows.
     Sq_p = _round_up(Sq, block_q)
     Sk_p = _round_up(Sk, block_k)
     # causal alignment: query i attends to keys <= i + offset

@@ -100,6 +100,9 @@ def vq_lookup_pallas(
     K = emb.shape[0]
     block_m = min(block_m, _round_up(M, 8))
     block_k = min(block_k, _round_up(K, 128))
+    # TODO(perf, needs TPU to validate): same pad-to-full-block blowup as
+    # ops/attention.py — a block_k dividing round_up(K, 128) would avoid
+    # scanning a near-empty final codebook tile (e.g. K=2100 -> K_p=4096).
     M_p = _round_up(M, block_m)
     K_p = _round_up(K, block_k)
 
