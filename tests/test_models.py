@@ -567,3 +567,62 @@ class TestRemat:
             jax.tree_util.tree_leaves(l0[1]), jax.tree_util.tree_leaves(l1[1])
         ):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestGPTCPrior:
+    """Co-trained continuous AR prior (reference gptc.py; the committed
+    reference hard-disables the prior at larp_tokenizer.py:241 — this
+    framework keeps the original LARP recipe functional)."""
+
+    def test_cotrained_prior_emits_latent_ce_with_grads(self):
+        model = tiny_tokenizer(prior_model={
+            "name": "gptc",
+            "args": {"n_layer": 1, "n_head": 2, "n_embd": 32},
+        })
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 32, 32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)},
+            x, train=True,
+        )
+        assert "prior" in variables["params"]
+
+        def loss(params):
+            out = model.apply(
+                {"params": params}, x, train=True,
+                rngs={"vq": jax.random.PRNGKey(3)},
+            )
+            return out["loss_latent_ce"]
+
+        val, grads = jax.value_and_grad(loss)(variables["params"])
+        assert np.isfinite(float(val))
+        gnorm = sum(
+            float(jnp.sum(jnp.abs(g)))
+            for g in jax.tree_util.tree_leaves(grads["prior"])
+        )
+        assert gnorm > 0.0  # the prior actually trains
+
+    def test_bare_gptc_name_builds_from_kwargs(self):
+        from video_tokenizer_tpu.registry import models as models_reg
+
+        m = models_reg.make({
+            "name": "gptc",
+            "args": {"n_layer": 1, "n_head": 2, "n_embd": 32, "n_ind": 8,
+                     "max_seq_len": 16},
+        })
+        x = jnp.zeros((2, 16, 8))
+        v = m.init({"params": jax.random.PRNGKey(0)}, x)
+        loss = m.apply(v, x, method=m.compute_prior_loss)
+        assert np.isfinite(float(loss))
+
+    def test_prior_with_fsq_bottleneck_rejected(self):
+        model = tiny_tokenizer(
+            bottleneck_type="fsq",
+            bottleneck={"name": "fsq", "args": {"levels": [8, 8, 5]}},
+            prior_model={"name": "gptc", "args": {"n_layer": 1}},
+        )
+        x = jnp.zeros((1, 3, 8, 32, 32))
+        with pytest.raises(ValueError, match="vq"):
+            model.init(
+                {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+                x,
+            )

@@ -65,7 +65,6 @@ class GPTCBlock(nn.Module):
         return x + h
 
 
-@models.register("gptc")
 class GPTC(nn.Module):
     config: GPTCConfig
 
@@ -120,6 +119,14 @@ class GPTC(nn.Module):
                 jnp.linalg.norm(full_pred, axis=-1, keepdims=True) + 1e-12
             )
         return full_pred
+
+
+@models.register("gptc")
+def make_gptc(**kwargs):
+    """Bare 'gptc' registry name: build the config from flat kwargs (the
+    class's only ctor field is `config`, so registering the class directly
+    would drop every arg and fail with a missing-config TypeError)."""
+    return GPTC(GPTCConfig(**kwargs))
 
 
 def _gptc_zoo(n_layer, n_head, n_embd):

@@ -332,18 +332,24 @@ class LARPTokenizer(nn.Module):
         prior = self.prior_model or {}
         prior_name = str(prior.get("name", "none") or "none").lower()
         if prior_name.startswith("gptc"):
+            if self.bottleneck_type != "vq":
+                # loss_latent_ce is only computed in the vq bottleneck
+                # branch; a prior with fsq/sq would train dead params
+                raise ValueError(
+                    "prior_model co-training requires bottleneck_type "
+                    f"'vq' (got '{self.bottleneck_type}')"
+                )
             prior_args = dict(prior.get("args", {}))
-            bdim = (
-                self.bottleneck["args"]["bottleneck_dim"]
-                if self.bottleneck_type == "vq"
-                else len(self.fsq_levels)
-            )
+            bdim = self.bottleneck["args"]["bottleneck_dim"]
             no_dropout = bool(prior.get("no_dropout", True))
-            gptc_kwargs = {
-                "n_ind": bdim,
-                "max_seq_len": self.bottleneck_token_num,
-                "l2_normalized": bool(prior_args.get("l2_normalized", True)),
-            }
+            # user args pass through (e.g. n_layer/n_embd for the bare
+            # 'gptc' name); the tokenizer-derived fields are forced
+            gptc_kwargs = dict(prior_args)
+            gptc_kwargs.update(
+                n_ind=bdim,
+                max_seq_len=self.bottleneck_token_num,
+                l2_normalized=bool(prior_args.get("l2_normalized", True)),
+            )
             if no_dropout:
                 gptc_kwargs.update(
                     embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0
@@ -480,6 +486,22 @@ class LARPTokenizer(nn.Module):
         return self._decode_tokens(z)
 
     def decode_eval(self, z: jax.Array, num_x_tokens: Optional[int] = None):
+        # num_x_tokens counts ENCODER patch tokens (encode_eval's output,
+        # reference larp_tokenizer.py:471-482). When the decoder has its own
+        # patch geometry, convert to the decoder grid — truncating decoder
+        # queries by the encoder count would decode the wrong frame count.
+        if num_x_tokens is not None and (
+            self.decoder_temporal_patch_size != self.temporal_patch_size
+            or self.decoder_patch_size != self.patch_size
+        ):
+            frames = (
+                num_x_tokens // (self.token_hw**2) * self.temporal_patch_size
+            )
+            num_x_tokens = (
+                frames
+                // self.decoder_temporal_patch_size
+                * self.decoder_token_hw**2
+            )
         return self._decode_tokens(z, num_x_tokens)
 
     def decode_from_bottleneck(self, bottleneck_rep: jax.Array) -> jax.Array:

@@ -157,10 +157,7 @@ class _ARTrainerBase(BaseTrainer):
         self.log(f"AR model params: {common.compute_num_params(variables['params'])}")
 
         opt_cfg = self.cfg["optimizer"]
-        steps_per_epoch = max(
-            len(self.train_dataset)
-            // (self.train_batch_size * max(jax.process_count(), 1)), 1,
-        )
+        steps_per_epoch = self.steps_per_epoch()
         sched = make_lr_schedule(
             opt_cfg, float(opt_cfg["args"]["lr"]), steps_per_epoch,
             int(self.cfg["max_epoch"]),

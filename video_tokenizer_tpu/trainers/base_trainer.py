@@ -268,6 +268,15 @@ class BaseTrainer:
     def visualize_epoch(self):
         pass
 
+    def steps_per_epoch(self) -> int:
+        """ONE definition of epoch length (per host): LR schedules, kl
+        decay, and the epoch loop must agree on it."""
+        return max(
+            len(self.train_dataset)
+            // (self.train_batch_size * max(jax.process_count(), 1)),
+            1,
+        )
+
     def state_for_checkpoint(self):
         raise NotImplementedError
 
@@ -463,11 +472,7 @@ class BaseTrainer:
         save_epoch = int(cfg.get("save_epoch", max_epoch + 1))
         latest_interval = int(cfg.get("latest_interval", 1))
         timer = common.EpochTimer(max_epoch)
-        self.n_steps_per_epoch = max(
-            len(self.train_dataset)
-            // (self.train_batch_size * max(jax.process_count(), 1)),
-            1,
-        )
+        self.n_steps_per_epoch = self.steps_per_epoch()
         self.max_steps = self.n_steps_per_epoch * max_epoch
 
         for epoch in range(self.starting_epoch, max_epoch + 1):

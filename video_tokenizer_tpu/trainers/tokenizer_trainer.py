@@ -105,11 +105,7 @@ class LARPTokenizerTrainer(BaseTrainer):
 
         # optimizers
         opt_cfg = self.cfg["optimizer"]
-        steps_per_epoch = max(
-            len(self.train_dataset)
-            // (self.train_batch_size * max(jax.process_count(), 1)),
-            1,
-        )
+        steps_per_epoch = self.steps_per_epoch()
         max_epoch = int(self.cfg["max_epoch"])
         g_sched = make_lr_schedule(
             opt_cfg, float(opt_cfg["args"]["lr"]), steps_per_epoch, max_epoch
@@ -135,12 +131,9 @@ class LARPTokenizerTrainer(BaseTrainer):
 
             def scaled_tx(mult):
                 sched = lambda step: g_sched(step) * mult
-                tx = make_optimizer(opt_cfg.get("name", "adam"), sched, opt_cfg["args"])
-                if self.clip_grad_max_norm > 0:
-                    tx = optax.chain(
-                        optax.clip_by_global_norm(self.clip_grad_max_norm), tx
-                    )
-                return tx
+                return make_optimizer(
+                    opt_cfg.get("name", "adam"), sched, opt_cfg["args"]
+                )
 
             self.g_tx = optax.multi_transform(
                 {"base": scaled_tx(1.0), "prior": scaled_tx(prior_mult),
@@ -148,12 +141,17 @@ class LARPTokenizerTrainer(BaseTrainer):
                 g_label,
             )
         else:
-            g_tx = make_optimizer(opt_cfg.get("name", "adam"), g_sched, opt_cfg["args"])
-            if self.clip_grad_max_norm > 0:
-                g_tx = optax.chain(
-                    optax.clip_by_global_norm(self.clip_grad_max_norm), g_tx
-                )
-            self.g_tx = g_tx
+            self.g_tx = make_optimizer(
+                opt_cfg.get("name", "adam"), g_sched, opt_cfg["args"]
+            )
+        if self.clip_grad_max_norm > 0:
+            # ONE global clip over all generator params (reference
+            # larp_tokenizer_trainer.py clips jointly) — clipping inside
+            # each multi_transform group would let the total update norm
+            # reach sqrt(n_groups) x the configured max
+            self.g_tx = optax.chain(
+                optax.clip_by_global_norm(self.clip_grad_max_norm), self.g_tx
+            )
 
         # discriminator optimizer: train only the 'discriminator' subtree;
         # LPIPS weights stay frozen (reference loss.py:305-308).
@@ -163,10 +161,18 @@ class LARPTokenizerTrainer(BaseTrainer):
                 for k in params.keys()
             }
 
+        # unit LR inside the optimizer; the schedule is applied EXTERNALLY
+        # from the global step in _step_impl. Rationale: skipped (gated-off)
+        # discriminator steps revert opt_d wholesale — moments AND count,
+        # which matches torch's "no .step() called" — but the LR schedule
+        # must still follow the global step like the reference's per-step
+        # adjust_learning_rate (base_trainer.py:546-572), not the count of
+        # applied updates.
         d_tx_inner = make_optimizer(
             opt_cfg.get("loss_name", opt_cfg.get("name", "adam")),
-            d_sched, opt_cfg.get("loss_args", opt_cfg["args"]),
+            lambda step: 1.0, opt_cfg.get("loss_args", opt_cfg["args"]),
         )
+        self._d_sched = d_sched
         if self.clip_grad_max_norm > 0:
             d_tx_inner = optax.chain(
                 optax.clip_by_global_norm(self.clip_grad_max_norm), d_tx_inner
@@ -349,6 +355,12 @@ class LARPTokenizerTrainer(BaseTrainer):
                 & (d_loss > self.loss_mod.d_update_loss_threshold)
             )
             d_updates, new_opt_d = self.d_tx.update(d_grads, opt_d, loss_params)
+            # global-step LR (see configure note): the optimizer runs at
+            # unit LR; scale its update by the schedule at THIS step
+            d_lr = self._d_sched(step)
+            d_updates = jax.tree_util.tree_map(
+                lambda u: u * d_lr, d_updates
+            )
             cand_params = optax.apply_updates(loss_params, d_updates)
             sel = lambda n, o: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(should_d, a, b), n, o
@@ -451,7 +463,13 @@ class LARPTokenizerTrainer(BaseTrainer):
         # compile) since strings can't cross the jit boundary.
         keys = tuple(sorted(k for k, v in info.items() if jnp.ndim(v) == 0))
         self._info_keys["train" if is_train else "eval"] = keys
-        packed = jnp.stack([info[k].astype(jnp.float32) for k in keys])
+        # jnp.asarray: entries may be plain Python floats (e.g. a constant
+        # kl_weight), which have no .astype
+        packed = jnp.stack([jnp.asarray(info[k], jnp.float32) for k in keys])
+        if not is_train:
+            # hand eval callers the reconstruction too: the FVD feature pass
+            # reuses this forward instead of running the tokenizer twice
+            return new_state, packed, jnp.clip(pred_frames, 0.0, 1.0)
         return new_state, packed
 
     # ------------------------------------------------------------ loop hooks
@@ -466,19 +484,22 @@ class LARPTokenizerTrainer(BaseTrainer):
 
     def evaluate_step(self, batch):
         with self._sp_ctx():
-            _, packed = self._eval_step(
+            _, packed, recon = self._eval_step(
                 self.state, batch, jnp.asarray(self.epoch, jnp.int32)
             )
         info = dict(zip(self._info_keys["eval"], np.asarray(packed).tolist()))
         if self.fvd_calc is not None and batch["gt"].shape[2] >= 10:
-            gt = common.video_to_float(batch["gt"])
-            recon = self._recon_fn(self.state, gt)
-            self._fake_stats = self.fvd_calc.get_feature_stats_for_batch(
-                recon, getattr(self, "_fake_stats", None)
-            )
-            self._real_stats = self.fvd_calc.get_feature_stats_for_batch(
-                gt, getattr(self, "_real_stats", None)
-            )
+            try:
+                gt = common.video_to_float(batch["gt"])
+                self._fake_stats = self.fvd_calc.get_feature_stats_for_batch(
+                    recon, getattr(self, "_fake_stats", None)
+                )
+                self._real_stats = self.fvd_calc.get_feature_stats_for_batch(
+                    gt, getattr(self, "_real_stats", None)
+                )
+            except Exception as e:  # e.g. non-addressable shards multi-host
+                self.log(f"eval FVD feature pass failed: {e}")
+                self.fvd_calc = None
         return info
 
     def evaluate_epoch(self):
@@ -506,11 +527,9 @@ class LARPTokenizerTrainer(BaseTrainer):
             name = next(iter(self.test_datasets))
             batch = next(iter(self.test_loader(name)))
             data = jnp.asarray(common.video_to_float(batch["gt"][:4]))
-            out = self.model.apply(
-                {"params": self.state["params"]}, data, train=False,
-                rngs={"vq": jax.random.PRNGKey(0)},
-            )
-            pred = np.asarray(out["pred_frames"])
+            # jitted path (not eager apply): works when params carry
+            # FSDP/TP shardings — GSPMD inserts the gathers
+            pred = np.asarray(self._recon_fn(self.state, data))
             vis_dir = common.ensure_path(os.path.join(self.save_dir, "vis"))
             self._save_video_grid(
                 np.asarray(data), pred,
