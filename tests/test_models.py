@@ -626,3 +626,46 @@ class TestGPTCPrior:
                 {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
                 x,
             )
+
+
+class TestStandaloneGANHelpers:
+    """The relativistic / noise-GP losses mirror the reference's per-family
+    loss modules, which are likewise NOT wired into any trainer (reference
+    models/model/losses/loss_module.py imports `model.*` — standalone
+    provenance, SURVEY.md row 36). Exercised here so they stay correct."""
+
+    def test_relativistic_losses_oppose(self):
+        from video_tokenizer_tpu.models.loss import (
+            relativistic_d_loss, relativistic_g_loss,
+        )
+
+        real = jnp.asarray([2.0, 1.0])
+        fake = jnp.asarray([-1.0, 0.0])
+        d = float(relativistic_d_loss(real, fake))
+        g = float(relativistic_g_loss(real, fake))
+        assert d < np.log(2.0) < g  # correct-ordering side is cheap
+        # symmetric when logits swap roles
+        assert np.isclose(
+            d, float(relativistic_g_loss(fake, real)), atol=1e-6
+        )
+
+    def test_noise_gradient_penalty_zero_for_constant_disc(self):
+        from video_tokenizer_tpu.models.loss import noise_gradient_penalty
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8))
+        p_const = noise_gradient_penalty(
+            lambda v: jnp.ones((v.shape[0], 1)), x, jax.random.PRNGKey(1)
+        )
+        p_linear = noise_gradient_penalty(
+            lambda v: 100.0 * jnp.sum(v, axis=-1, keepdims=True),
+            x, jax.random.PRNGKey(1),
+        )
+        assert float(p_const) == 0.0 and float(p_linear) > 0.0
+
+    def test_measure_perplexity_uniform(self):
+        from video_tokenizer_tpu.models.loss import measure_perplexity
+
+        idx = jnp.arange(16) % 4
+        perp, used = measure_perplexity(idx, 4)
+        assert np.isclose(float(perp), 4.0, rtol=1e-4)
+        assert int(used) == 4

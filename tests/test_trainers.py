@@ -123,6 +123,43 @@ class TestTokenizerTrainer:
         # EMA state survives
         assert "0.999" in tr2.state["ema_params"]
 
+    def test_bn_bottleneck_norm_trains_and_resumes(self, tmp_path):
+        """bottleneck norm 'bn_b' (BatchNorm, reference bottleneck.py:98-128):
+        running stats thread through the jitted GAN step, update on train,
+        and round-trip through checkpoints."""
+        cfg = _tok_cfg(tmp_path)
+        cfg["model"]["args"]["bottleneck"]["args"]["norm"] = "bn_b"
+        tr = trainers.make(
+            {"name": "larp_tokenizer_trainer"}, args={"cfg": cfg}
+        )
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.epoch = 1
+        tr.make_model()
+        stats0 = jax.tree_util.tree_leaves(tr.state["batch_stats"])
+        assert stats0  # BN collections exist
+        before = np.asarray(stats0[0]).copy()
+        info = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
+        assert np.isfinite(info["loss"])
+        after = np.asarray(
+            jax.tree_util.tree_leaves(tr.state["batch_stats"])[0]
+        )
+        assert not np.array_equal(before, after)  # running stats updated
+        tr.save_checkpoint("epoch-last")
+
+        tr2 = trainers.make(
+            {"name": "larp_tokenizer_trainer"}, args={"cfg": cfg}
+        )
+        tr2.make_datasets()
+        tr2.n_steps_per_epoch = 4
+        tr2.epoch = 1
+        tr2.make_model()
+        assert tr2.try_resume()
+        np.testing.assert_array_equal(
+            after,
+            np.asarray(jax.tree_util.tree_leaves(tr2.state["batch_stats"])[0]),
+        )
+
     def test_tp_tokenizer_matches_replicated(self, tmp_path):
         """cfg `mesh_model: 2` + `sequence_parallel: true` on the tokenizer
         GAN trainer: Megatron TP+SP over the ViT stacks

@@ -65,10 +65,23 @@ class SimpleVectorQuantizer(nn.Module):
     stochastic: bool = False
     stochastic_temperature: float = 1.0
     codebook_loss_weight: float = 1.0
+    # DELIBERATE deviation: the reference defaults to STOCHASTIC eval
+    # (bottleneck.py:228, eval_deterministic=False) and opts into argmax via
+    # set_eval_deterministic / the eval CLI's --det. Here deterministic eval
+    # is the default so every eval/serving call site works without a 'vq'
+    # RNG; every flow whose numbers matter (golden eval, AR encode) uses
+    # --det in the reference anyway. Set eval_deterministic=False to get
+    # the reference's stochastic training-time eval telemetry.
     eval_deterministic: bool = True
     token_nums: int = 0  # accepted for registry-arg compat; unused
 
     def setup(self):
+        if self.stochastic and not self.l2_normalized:
+            # reference bottleneck.py:274-276 asserts this: the stochastic
+            # softmax and the deterministic argmax both assume cosine
+            # scores from pre-normalized z/emb — raw dot products would
+            # bias sampling toward large-norm codes
+            raise ValueError("stochastic VQ sampling requires l2_normalized")
         self.embedding = self.param(
             "embedding", _kaiming_uniform_torch, (self.codebook_size, self.dim)
         )

@@ -126,6 +126,10 @@ class TransformerDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: BCTHW -> logits [B, 1]."""
+        assert x.shape[1] == self.in_channels, (
+            f"discriminator built for {self.in_channels} channels, "
+            f"got {x.shape[1]}"
+        )
         b = x.shape[0]
         if self.temporal_patch_size == 1:
             tokens = VideoPatchEmbed(
@@ -190,8 +194,18 @@ class VQLPIPSWithDiscriminator(nn.Module):
     d_update_loss_threshold: float = -1.0e6
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    spectral_norm: bool = False  # accepted so a reference cfg fails LOUDLY
 
     def setup(self):
+        if self.spectral_norm:
+            # registry.make silently drops unknown kwargs, so without this
+            # field a reference cfg with spectral_norm: true would train an
+            # unconstrained discriminator with no warning (reference
+            # loss.py:275-276 wraps every disc layer in spectral_norm)
+            raise NotImplementedError(
+                "spectral_norm discriminator is not implemented; unset it "
+                "or use the LeCam/R1 regularizers"
+            )
         assert self.disc_loss in ("hinge", "ns", "ns_smooth")
         assert self.pixel_loss in ("l1", "l2")
         assert self.disc_type.lower() == "transformer", self.disc_type
@@ -207,7 +221,13 @@ class VQLPIPSWithDiscriminator(nn.Module):
             in_channels=self.disc_in_channels,
             frame_num=self.frame_num,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            # R1 needs grad-of-grad through the discriminator; the Pallas
+            # flash kernel's custom VJP is not twice-differentiable, so pin
+            # the XLA attention path when the penalty is on (the disc is
+            # small — the cost is negligible next to the second forward)
+            use_pallas=(
+                False if self.r1_gp_weight > 0.0 else self.use_pallas
+            ),
             name="discriminator",
         )
         self.lecam_ema_real = self.variable(
@@ -289,11 +309,15 @@ class VQLPIPSWithDiscriminator(nn.Module):
         recon_sg = jax.lax.stop_gradient(reconstructions)
 
         if train and self.r1_gp_weight > 0.0:
+            # ONE real-batch forward yields both the logits and the input
+            # gradient (reference loss.py:37-56 likewise shares the forward)
             def disc_sum(v):
-                return jnp.sum(self.discriminator(v).astype(jnp.float32))
+                logits = self.discriminator(v)
+                return jnp.sum(logits.astype(jnp.float32)), logits
 
-            logits_real = self.discriminator(inputs)
-            grads = jax.grad(disc_sum)(jax.lax.stop_gradient(inputs))
+            (_, logits_real), grads = jax.value_and_grad(
+                disc_sum, has_aux=True
+            )(jax.lax.stop_gradient(inputs))
             r1_gp = (
                 jnp.mean(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=1))
                 * self.r1_gp_weight

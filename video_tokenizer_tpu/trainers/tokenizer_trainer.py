@@ -93,6 +93,8 @@ class LARPTokenizerTrainer(BaseTrainer):
         k0, k1, k2, k3 = jax.random.split(self.base_key, 4)
         model_vars = self.model.init({"params": k0, "vq": k1}, dummy, train=True)
         self.model_params = model_vars["params"]
+        # BatchNorm bottleneck norms carry running stats (empty otherwise)
+        self.model_batch_stats = model_vars.get("batch_stats", {})
         loss_vars = self.loss_mod.init(
             {"params": k2, "gan": k3}, dummy, dummy, method=self.loss_mod.initialize
         )
@@ -183,6 +185,7 @@ class LARPTokenizerTrainer(BaseTrainer):
 
         state = {
             "params": self.model_params,
+            "batch_stats": self.model_batch_stats,
             "loss_params": self.loss_params,
             "loss_ema": self.loss_ema,
             "opt_g": self.g_tx.init(self.model_params),
@@ -262,9 +265,9 @@ class LARPTokenizerTrainer(BaseTrainer):
             self.log(f"eval FVD unavailable: {e}")
 
     def _recon_impl(self, state, data):
-        out = self.model.apply(
-            {"params": state["params"]}, data, train=False,
-            rngs={"vq": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        out, _ = self._apply_model(
+            state["params"], data, False, jax.random.PRNGKey(0),
+            batch_stats=state.get("batch_stats"),
         )
         return jnp.clip(out["pred_frames"].astype(jnp.float32), 0.0, 1.0)
 
@@ -291,13 +294,27 @@ class LARPTokenizerTrainer(BaseTrainer):
 
     # ------------------------------------------------------------- step impl
 
-    def _apply_model(self, params, data, train, rng):
-        """Model forward hook; subclasses may add rng streams / kwargs."""
+    def _apply_model(self, params, data, train, rng, batch_stats=None):
+        """Model forward hook; subclasses may add rng streams / kwargs.
+        Returns (out, new_batch_stats) — BatchNorm bottleneck norms
+        ('bn_bn'/'bn_b', reference bottleneck.py:98-128) carry running
+        stats, updated when train."""
         r_vq, r_drop = jax.random.split(rng)
-        return self.model.apply(
-            {"params": params}, data, train=train,
-            rngs={"vq": r_vq, "dropout": r_drop},
-        )
+        rngs = {"vq": r_vq, "dropout": r_drop}
+        if batch_stats:
+            variables = {"params": params, "batch_stats": batch_stats}
+            if train:
+                out, mut = self.model.apply(
+                    variables, data, train=True, rngs=rngs,
+                    mutable=["batch_stats"],
+                )
+                return out, mut["batch_stats"]
+            return (
+                self.model.apply(variables, data, train=False, rngs=rngs),
+                batch_stats,
+            )
+        out = self.model.apply({"params": params}, data, train=train, rngs=rngs)
+        return out, None
 
     def _generator_extra_loss(self, diff, data, loss_params, loss_ema, rng):
         """Extra generator-loss hook (e.g. STATLoss). Returns (loss, info)."""
@@ -312,7 +329,10 @@ class LARPTokenizerTrainer(BaseTrainer):
 
         # --- single tokenizer forward, VJP residuals retained
         def model_fwd(params):
-            out = self._apply_model(params, data, is_train, r_vq)
+            out, new_bs = self._apply_model(
+                params, data, is_train, r_vq,
+                batch_stats=state.get("batch_stats"),
+            )
             diff = {"pred_frames": out["pred_frames"].astype(jnp.float32)}
             for k in ("loss_q", "loss_kl", "loss_latent_ce", "align_loss", "probs"):
                 if k in out:
@@ -321,12 +341,14 @@ class LARPTokenizerTrainer(BaseTrainer):
                 k: v for k, v in out.items()
                 if k not in diff and not isinstance(v, dict)
             }
-            return diff, aux
+            return diff, (aux, new_bs)
 
         if is_train:
-            (diff_out, vjp_fn, aux) = jax.vjp(model_fwd, state["params"], has_aux=True)
+            (diff_out, vjp_fn, (aux, new_batch_stats)) = jax.vjp(
+                model_fwd, state["params"], has_aux=True
+            )
         else:
-            diff_out, aux = model_fwd(state["params"])
+            diff_out, (aux, new_batch_stats) = model_fwd(state["params"])
         pred_frames = diff_out["pred_frames"]
 
         # --- discriminator step (updated first, like the reference)
@@ -449,6 +471,10 @@ class LARPTokenizerTrainer(BaseTrainer):
 
         new_state = {
             "params": new_params,
+            "batch_stats": (
+                new_batch_stats if new_batch_stats is not None else
+                state.get("batch_stats", {})
+            ),
             "loss_params": loss_params,
             "loss_ema": loss_ema,
             "opt_g": new_opt_g,

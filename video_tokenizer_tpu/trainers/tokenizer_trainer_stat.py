@@ -79,12 +79,13 @@ class LARPTokenizerTrainerStat(LARPTokenizerTrainer):
             self.log(f"STAT stage -> {stage}")
         return super().train_epoch()
 
-    def _apply_model(self, params, data, train, rng):
+    def _apply_model(self, params, data, train, rng, batch_stats=None):
         r_vq, r_stat = jax.random.split(rng)
-        return self.model.apply(
+        out = self.model.apply(
             {"params": params}, data, train=train, stage=self._stage,
             rngs={"vq": r_vq, "stat": r_stat},
         )
+        return out, None  # stat family has no BatchNorm collections
 
     def _generator_extra_loss(self, diff, data, loss_params, loss_ema, rng):
         if self._stage != "adaptive" or "probs" not in diff:
