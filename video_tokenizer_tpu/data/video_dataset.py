@@ -45,12 +45,19 @@ except ImportError:  # pragma: no cover
 # native fused crop+resize+normalize+CHW (native/video_ops.cpp); ~30x faster
 # than the naive per-frame float path, cv2-uint8 fallback otherwise
 try:
-    import sys as _sys
+    # load by explicit file location — do NOT leave <repo>/native on
+    # sys.path, where any stray module could shadow real packages in every
+    # process that imports this file (incl. all grain workers)
+    import glob as _glob
+    import importlib.util as _ilu
 
-    _sys.path.insert(
-        0, os.path.join(os.path.dirname(__file__), "..", "..", "native")
-    )
-    import video_ops_native as _vn
+    _native_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    _so = sorted(_glob.glob(os.path.join(_native_dir, "video_ops_native*.so")))
+    if not _so:
+        raise ImportError("no video_ops_native extension built")
+    _spec = _ilu.spec_from_file_location("video_ops_native", _so[0])
+    _vn = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_vn)
 
     _HAS_NATIVE = True
 except ImportError:  # pragma: no cover
@@ -159,10 +166,13 @@ class VideoTransform:
             short = min(h, w)
             return (h - short) // 2, (w - short) // 2, short, short
         rng = rng or np.random
-        # RandomResizedCrop(scale=(scale,1.0), ratio=(1/ratio, ratio))
+        # reference semantics (video_dataset.py:48-50): scale > 1 means
+        # RandomResizedCrop area fraction in [1/scale^2, 1]; scale < 1 is
+        # kept as a direct area lower bound; scale == 1 -> no jitter
         area = h * w
+        lo = 1.0 / (self.scale**2) if self.scale > 1.0 else self.scale
         for _ in range(10):
-            target_area = area * rng.uniform(min(self.scale, 1.0), 1.0)
+            target_area = area * rng.uniform(min(lo, 1.0), 1.0)
             log_ratio = (np.log(1.0 / self.ratio), np.log(self.ratio))
             aspect = np.exp(rng.uniform(*log_ratio))
             cw = int(round(np.sqrt(target_area * aspect)))
@@ -206,6 +216,7 @@ class VideoDataset:
     ):
         assert frame_rate in ("uniform", "native")
         self.csv_file = csv_file
+        self.cls_vid_num = cls_vid_num
         self.frame_num = frame_num
         self.crop_size = crop_size
         self.frame_rate = frame_rate
@@ -237,12 +248,16 @@ class VideoDataset:
 
         if csv_file.lower().startswith("null"):
             self.fake = True
+            # fake clips are synthetic — there are no real frame windows to
+            # index, so all-frames mode degrades to per-clip sampling
+            # (otherwise __len__ would crash on the absent index_map)
+            self.use_all_frames = False
             num = 128 if csv_file.lower().startswith("null128") else 32 * 7000
             self.vid_list = [""] * num
             self.idx2label = {i: i % 101 for i in range(num)}
             self.num_classes = 101
-            labels = list(self.idx2label.values())
-            self.label_count = [labels.count(l) for l in range(101)]
+            labels = np.fromiter(self.idx2label.values(), np.int64)
+            self.label_count = np.bincount(labels, minlength=101).tolist()
             return
         self.fake = False
 
@@ -325,8 +340,12 @@ class VideoDataset:
             }
 
         if self.use_all_frames:
+            # cls_vid_num must be part of the key: a limited subset's index
+            # differs from the full one (reference caches per-csv only
+            # because it rebuilds when limits change, video_dataset.py:246)
             cache_name = (
-                f"{Path(self.csv_file).name}_{self.frame_num}_all_frames.pkl"
+                f"{Path(self.csv_file).name}_{self.frame_num}_"
+                f"{self.cls_vid_num}_all_frames.pkl"
             )
             cache_path = os.path.join(self.index_map_cache_dir, cache_name)
             if os.path.exists(cache_path):
@@ -356,9 +375,11 @@ class VideoDataset:
             }
 
         if self.num_classes is not None:
-            labels = list(self.idx2label.values())
-            assert set(labels) == set(range(self.num_classes))
-            self.label_count = [labels.count(l) for l in range(self.num_classes)]
+            labels = np.fromiter(self.idx2label.values(), np.int64)
+            assert set(labels.tolist()) == set(range(self.num_classes))
+            self.label_count = np.bincount(
+                labels, minlength=self.num_classes
+            ).tolist()
 
     def __len__(self) -> int:
         return len(self.index_map) if self.use_all_frames else len(self.vid_list)

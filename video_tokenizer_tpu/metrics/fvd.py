@@ -164,7 +164,15 @@ def calc_dataset_md5(dataset) -> str:
         }
         return md5(json.dumps(payload, sort_keys=True, default=str).encode()).hexdigest()
     except Exception:
-        return md5(pickle.dumps(sorted(dataset.__dict__.keys()))).hexdigest()
+        # fallback must still distinguish datasets: include the identifying
+        # fields, not just the (class-constant) attribute names
+        ident = (
+            sorted(dataset.__dict__.keys()),
+            str(getattr(dataset, "csv_file", "")),
+            str(getattr(dataset, "root_path", "")),
+            len(dataset) if hasattr(dataset, "__len__") else -1,
+        )
+        return md5(pickle.dumps(ident)).hexdigest()
 
 
 class FVDCalculator:
@@ -192,6 +200,11 @@ class FVDCalculator:
             data = batch.get("gt", batch.get("video"))
         else:
             data = batch
+        # the dataset default ships uint8 [0,255]; the I3D extractor
+        # assumes [0,1] (it rescales to [-1,1] itself)
+        from ..utils.common import video_to_float
+
+        data = video_to_float(data)
         features = self.extractor(data)  # [B, 400]
         feats.append(np.asarray(features))
         return feats
@@ -206,8 +219,14 @@ class FVDCalculator:
         if cache_stats and stats_pkl_path is None:
             cache_dir = Path(__file__).resolve().parent / "stats_cache"
             cache_dir.mkdir(exist_ok=True)
+            # key in the extractor identity and truncation: random-init
+            # (weightless) stats and max_items-truncated stats must never
+            # be served to a pretrained / untruncated run
+            tag = "i3d" if self.pretrained else "randinit"
+            if max_items:
+                tag += f"_n{int(max_items)}"
             stats_pkl_path = cache_dir / (
-                f"fvd_stats_{name}_{calc_dataset_md5(dataset)}.pkl"
+                f"fvd_stats_{name}_{tag}_{calc_dataset_md5(dataset)}.pkl"
             )
         if cache_stats and Path(stats_pkl_path).exists():
             return FeatureStats.load(stats_pkl_path)
@@ -221,6 +240,11 @@ class FVDCalculator:
             if feats.is_full():
                 break
             feats = self.get_feature_stats_for_batch(batch, feats)
+        if feats.num_items == 0:
+            raise ValueError(
+                f"dataset '{name}' produced no batches — refusing to "
+                "compute (or cache) empty feature stats"
+            )
         if cache_stats:
             feats.save(stats_pkl_path)
         return feats
