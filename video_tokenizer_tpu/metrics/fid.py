@@ -32,15 +32,25 @@ class FIDCalculator:
     def get_feature_stats_for_batch(self, batch, feats=None) -> FeatureStats:
         import jax.numpy as jnp
 
+        from ..utils.common import video_to_float
+
         if feats is None:
             feats = FeatureStats(capture_mean_cov=True)
         if isinstance(batch, dict):
-            data = batch.get("gt", batch.get("image"))
+            data = batch.get("gt", batch.get("image", batch.get("video")))
+            if data is None:
+                raise ValueError(
+                    "batch dict has none of the keys 'gt'/'image'/'video'"
+                )
         else:
             data = batch
-        data = jnp.asarray(data)
-        if data.ndim == 5:  # single-frame videos [B, C, 1, H, W]
-            data = data[:, :, 0]
+        # uint8 [0,255] pipeline batches -> [0,1] (Inception maps to [-1,1])
+        data = video_to_float(jnp.asarray(data))
+        if data.ndim == 5:
+            # per-frame FID like the reference (utils/fid/fid.py:102-105):
+            # every frame counts, b c t h w -> (b t) c h w
+            b, c, t, h, w = data.shape
+            data = jnp.transpose(data, (0, 2, 1, 3, 4)).reshape(b * t, c, h, w)
         feats.append(np.asarray(self.extractor(data)))
         return feats
 

@@ -94,8 +94,13 @@ class InceptionI3D(nn.Module):
         x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2), padding="SAME")
         x = InceptionBlock(256, 160, 320, 32, 128, 128, name="Mixed_5b")(x)
         x = InceptionBlock(384, 192, 384, 48, 128, 128, name="Mixed_5c")(x)
-        # global spatial avg pool, keep time, then 1x1x1 logits conv, mean over time
+        # reference head: avg_pool3d kernel (2,7,7) stride 1 — a spatial
+        # mean (H'=W'=7 at 224 input) plus a kernel-2 stride-1 temporal
+        # moving average — then the 1x1x1 logits conv, then time-mean.
+        # (A plain time-mean is only equivalent when T'==2, i.e. 16 frames.)
         x = jnp.mean(x, axis=(2, 3), keepdims=True)  # [B, T', 1, 1, 1024]
+        if x.shape[1] > 1:
+            x = 0.5 * (x[:, 1:] + x[:, :-1])
         x = Unit3D(
             self.num_classes, use_bn=False, activation=False, use_bias=True,
             name="logits",
@@ -126,7 +131,11 @@ class I3DFeatureExtractor:
         x = x * 2.0 - 1.0
         B, T, H, W, C = x.shape
         if (H, W) != (224, 224):
-            x = jax.image.resize(x, (B, T, 224, 224, C), method="bilinear")
+            # antialias=False: the reference TorchScript resize is plain
+            # bilinear without an antialiasing prefilter
+            x = jax.image.resize(
+                x, (B, T, 224, 224, C), method="bilinear", antialias=False
+            )
         return self.model.apply(variables, x)
 
     def __call__(self, videos) -> jax.Array:

@@ -161,8 +161,11 @@ class InceptionV3(nn.Module):
         x = InceptionC(192, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE("avg", name="Mixed_7b")(x)
-        # pytorch-fid replaces Mixed_7c's max pool with avg (FIDInceptionE_2)
-        x = InceptionE("avg", name="Mixed_7c")(x)
+        # pytorch-fid's FIDInceptionE_2 (Mixed_7c) keeps MAX pooling — its
+        # source comments this is "likely an error" vs the paper, but the
+        # FID weights were trained with it (reference utils/fid/
+        # inception.py:339-344), so parity requires max here
+        x = InceptionE("max", name="Mixed_7c")(x)
         return jnp.mean(x, axis=(1, 2))  # [B, 2048]
 
 
@@ -187,7 +190,11 @@ class InceptionFeatureExtractor:
         x = jnp.transpose(images, (0, 2, 3, 1))
         B, H, W, C = x.shape
         if (H, W) != (299, 299):
-            x = jax.image.resize(x, (B, 299, 299, C), method="bilinear")
+            # plain bilinear, no antialias prefilter (reference torch
+            # interpolate default)
+            x = jax.image.resize(
+                x, (B, 299, 299, C), method="bilinear", antialias=False
+            )
         x = x * 2.0 - 1.0
         return self.model.apply(variables, x)
 
