@@ -89,23 +89,39 @@ def shard_params_fsdp(
 
 
 def shard_like_params(tree: Any, params_sharded: Any, mesh: Mesh) -> Any:
-    """Place a pytree (e.g. optax state) to match sharded params by shape.
+    """Place a pytree (e.g. optax state) to match sharded params.
 
-    Leaves whose shape matches a parameter's take that parameter's sharding
-    (ZeRO: the Adam moments shard with their param); everything else —
-    step counters, scalars — is replicated.
+    Matching is by tree-path SUFFIX + shape, not shape alone: optax moment
+    trees embed the param tree (…/mu/<param path>), and under TP two
+    equal-shaped kernels can carry different path-dependent shardings — a
+    shape-keyed map would silently give one param's moments the other's
+    layout. Leaves with no param match — step counters, scalars — are
+    replicated.
     """
-    shardings = {}
 
-    def record(p):
-        shardings[getattr(p, "shape", ())] = p.sharding
-        return p
+    def _path_keys(path):
+        return tuple(
+            str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
+            for k in path
+        )
 
-    jax.tree_util.tree_map(record, params_sharded)
+    by_path = {}
+
+    def record(path, p):
+        by_path[_path_keys(path)] = (p.sharding, getattr(p, "shape", ()))
+
+    jax.tree_util.tree_map_with_path(
+        lambda path, p: record(path, p), params_sharded
+    )
     rep = NamedSharding(mesh, P())
 
-    def place(leaf):
-        sh = shardings.get(getattr(leaf, "shape", ()), rep)
-        return jax.device_put(leaf, sh)
+    def place(path, leaf):
+        keys = _path_keys(path)
+        shape = getattr(leaf, "shape", ())
+        for cut in range(len(keys)):
+            hit = by_path.get(keys[cut:])
+            if hit is not None and hit[1] == shape:
+                return jax.device_put(leaf, hit[0])
+        return jax.device_put(leaf, rep)
 
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)

@@ -10,8 +10,16 @@ partial results with the log-sum-exp statistic from the Pallas kernel:
 
   merged = (out_a * exp(lse_a - m) + out_b * exp(lse_b - m)) / (exp(...)+exp(...))
 
-Causality across shards is positional: each step passes the explicit global
-`causal_offset` (q_shard_start - k_shard_start) to the kernel.
+Causality across shards (equal, contiguous, mesh-ordered): a 3-way branch
+per step — the diagonal shard runs causal attention (offset 0), wholly-past
+shards run full attention, wholly-future shards contribute nothing and skip
+the kernel entirely (their lse stays at the -1e30 init).
+
+Memory note: the forward scan's AD residuals still store each step's K/V
+carry, so training memory scales with the global sequence; the per-step
+attention residuals are dropped via jax.checkpoint (recomputed in the
+backward). A custom backward ring pass (re-rotating K/V instead of saving
+carries) is the known remaining step toward O(S_local) training memory.
 
 Usage: inside `shard_map` over a mesh with the sequence axis (see
 tests/test_ring.py), or via `ring_attention_sharded` which wraps shard_map.
@@ -58,10 +66,17 @@ def ring_attention_local(
         k_cur, v_cur, out, lse = carry
         src = jnp.mod(my - step, P_)  # which shard's K/V we currently hold
         if causal:
-            # src < my: keys fully in the past -> full attention over the
-            #           shard; src == my: diagonal -> causal (offset 0);
-            # src > my: keys fully in the future -> contribute nothing.
-            # lax.cond executes only the needed branch per step.
+            # 3-way switch — the future branch returns without running the
+            # kernel at all, so ~half the off-diagonal device-steps of a
+            # causal ring do no attention work (and no backward recompute).
+            def future_branch(args):
+                qq, _, _ = args
+                B_, S_, H_, _ = qq.shape
+                return (
+                    jnp.zeros_like(qq),
+                    jnp.full((B_, H_, S_), NEG, jnp.float32),
+                )
+
             def diag_branch(args):
                 qq, kk, vv = args
                 return attention_with_lse(
@@ -69,18 +84,18 @@ def ring_attention_local(
                     causal_offset=0, use_pallas=use_pallas,
                 )
 
-            def full_branch(args):
+            def past_branch(args):
                 qq, kk, vv = args
                 return attention_with_lse(
                     qq, kk, vv, causal=False, sm_scale=sm_scale,
                     use_pallas=use_pallas,
                 )
 
-            o_step, l_step = jax.lax.cond(
-                src == my, diag_branch, full_branch, (q, k_cur, v_cur)
+            idx = jnp.where(src > my, 0, jnp.where(src == my, 1, 2))
+            o_step, l_step = jax.lax.switch(
+                idx, (future_branch, diag_branch, past_branch),
+                (q, k_cur, v_cur),
             )
-            is_future = (src > my)[..., None, None]
-            l_step = jnp.where(is_future, NEG, l_step)
         else:
             o_step, l_step = attention_with_lse(
                 q, k_cur, v_cur, causal=False, sm_scale=sm_scale,
@@ -93,12 +108,16 @@ def ring_attention_local(
         return (k_nxt, v_nxt, out, lse), None
 
     B, S, H, D = q.shape
-    out0 = jnp.zeros_like(q)
+    # fp32 accumulator carried through all P merges; cast once at the end
+    # (re-rounding to bf16 every step would accumulate ~P*2^-8 error)
+    out0 = jnp.zeros(q.shape, jnp.float32)
     lse0 = jnp.full((B, H, S), NEG, jnp.float32)
+    # checkpoint: drop the per-step attention residuals (recomputed in the
+    # backward) — see the module docstring's memory note
     (k_f, v_f, out, lse), _ = jax.lax.scan(
-        step_fn, (k, v, out0, lse0), jnp.arange(P_)
+        jax.checkpoint(step_fn), (k, v, out0, lse0), jnp.arange(P_)
     )
-    return out
+    return out.astype(q.dtype)
 
 
 def ring_attention_sharded(
