@@ -82,7 +82,11 @@ class UCFrFVDEvaluator:
             psnrs.append(np.asarray(common.psnr_from_mse(mse)))
             xf = x.transpose(0, 2, 1, 3, 4).reshape(-1, *x.shape[1:2], *x.shape[3:])
             rf = rec.transpose(0, 2, 1, 3, 4).reshape(-1, *x.shape[1:2], *x.shape[3:])
-            lpipses.append(float(self._lpips_fn(self.lpips_params, xf, rf)))
+            # weight by batch size: the ragged final batch must not count
+            # as much as a full batch in the dataset mean
+            lpipses.append(
+                (float(self._lpips_fn(self.lpips_params, xf, rf)), B)
+            )
 
             x_fvd, rec_fvd = x, rec
             if self.repeat_to_16_frames and x.shape[2] < 16:
@@ -97,7 +101,13 @@ class UCFrFVDEvaluator:
             "num_samples": n,
             "mse": float(np.concatenate(mses).mean()) if mses else None,
             "psnr": float(np.concatenate(psnrs).mean()) if psnrs else None,
-            "lpips": float(np.mean(lpipses)) if lpipses else None,
+            "lpips": (
+                float(
+                    sum(v * b for v, b in lpipses)
+                    / max(sum(b for _, b in lpipses), 1)
+                )
+                if lpipses else None
+            ),
         }
         if fake_stats.num_items and fake_stats.num_items > 1:
             results["fvd"] = self.fvd.calculate_fvd(fake_stats, real_stats)

@@ -108,8 +108,10 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
     bs = args.batch_size
     for i in range(0, len(my_indices), bs):
         idx_chunk = my_indices[i : i + bs]
-        if len(idx_chunk) < bs:
-            break  # static shapes: drop ragged tail (counted in stats via num_samples)
+        # the ragged tail runs at its own (smaller) static shape — one
+        # extra compile beats silently dropping up to bs-1 requested
+        # samples (and an all-tail job would otherwise save EMPTY stats
+        # that crash the multi-job merge)
         items = [dataset[j] for j in idx_chunk]
         labels = jnp.asarray([it["label"] for it in items], jnp.int32)
         reals = video_to_float(np.stack([it["gt"] for it in items]))
@@ -132,7 +134,7 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
             for b, j in enumerate(idx_chunk):
                 path = str(video_dir / f"sample_{int(j):06d}_cls{int(labels[b])}.mp4")
                 futures.append(executor.submit(write_video_mp4, videos[b], path))
-        n_done += bs
+        n_done += len(idx_chunk)
         sps = n_done / (time.time() - t_start)
         print(f"[{n_done}/{len(my_indices)}] Samples per second: {sps:.3f}")
 
@@ -143,6 +145,10 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
     job_tag = f"{args.starting_index}"
     gen_stats.save(out_dir / f"gen_stats_{job_tag}.pkl")
     real_stats.save(out_dir / f"real_stats_{job_tag}.pkl")
+    # completion flag written only after BOTH shards are durably saved —
+    # the finalizer counts these, not the pkls, so it can never merge a
+    # gen shard against a missing/partially-written real shard
+    (out_dir / f"done_{job_tag}.flag").touch()
     if nlls:
         args.nll_sampled = float(np.mean(nlls))
         print(f"NLL of sampled sequences: {args.nll_sampled:.4f}")
@@ -212,8 +218,7 @@ def predict_frames(args, ar_model, ar_params, tokenizer, tok_params):
     t_start = time.time()
     for i in range(0, len(my_indices), bs):
         idx_chunk = my_indices[i : i + bs]
-        if len(idx_chunk) < bs:
-            break
+        # ragged tail processed at its own static shape (see sample_videos)
         items = [dataset[j] for j in idx_chunk]
         reals = video_to_float(np.stack([it["gt"] for it in items]))
         x = jnp.asarray(reals)
@@ -242,7 +247,7 @@ def predict_frames(args, ar_model, ar_params, tokenizer, tok_params):
             for b, j in enumerate(idx_chunk):
                 path = str(video_dir / f"fp_{int(j):06d}.mp4")
                 futures.append(executor.submit(write_video_mp4, videos[b], path))
-        n_done += bs
+        n_done += len(idx_chunk)
         print(f"[{n_done}/{len(my_indices)}] Samples per second: "
               f"{n_done / (time.time() - t_start):.3f}")
 
@@ -251,6 +256,7 @@ def predict_frames(args, ar_model, ar_params, tokenizer, tok_params):
     executor.shutdown()
     gen_stats.save(out_dir / f"gen_stats_{args.starting_index}.pkl")
     real_stats.save(out_dir / f"real_stats_{args.starting_index}.pkl")
+    (out_dir / f"done_{args.starting_index}.flag").touch()
     return gen_stats, real_stats, out_dir
 
 
@@ -259,10 +265,19 @@ def finalize_multi_job(args, out_dir: Path):
     lock = FileLock(str(out_dir / "rendezvous.lock"))
     n_jobs = max(args.num_jobs, 1)
     with lock:
-        done_flags = list(out_dir.glob("gen_stats_*.pkl"))
+        if (out_dir / "merged.flag").exists():
+            print("already merged by another job; exiting")
+            return None
+        done_flags = list(out_dir.glob("done_*.flag"))
         if len(done_flags) < n_jobs:
             print(f"waiting: {len(done_flags)}/{n_jobs} jobs done; exiting")
             return None
+        if len(done_flags) > n_jobs:
+            print(
+                f"WARNING: {len(done_flags)} job shards in {out_dir} but "
+                f"num_jobs={n_jobs} — stale shards from a previous run "
+                "will be folded into the FVD; use a fresh output_dir"
+            )
         gen = None
         real = None
         for p in sorted(out_dir.glob("gen_stats_*.pkl")):
@@ -294,6 +309,7 @@ def finalize_multi_job(args, out_dir: Path):
                      f"{nll:.4f}" if nll is not None else "",
                      f"{fvd:.4f}"]
                 )
+        (out_dir / "merged.flag").touch()
         return fvd
 
 
@@ -370,6 +386,7 @@ def main():
             "sampling mode or checkpoint."
         )
     if args.frame_prediction:
+        args.cfg_scale = 1.0  # predict_frames hardcodes it; report truthfully
         _, _, out_dir = predict_frames(args, ar_model, ar_params, tokenizer, tok_params)
     else:
         _, _, out_dir = sample_videos(args, ar_model, ar_params, tokenizer, tok_params)

@@ -18,6 +18,7 @@ import argparse
 import os
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -65,6 +66,16 @@ def make_cfg(args):
     cfg = load_config(args.cfg, variables=variables, opts=args.opts)
     if args.manualSeed < 0:
         args.manualSeed = int.from_bytes(os.urandom(2), "little")
+        if jax.process_count() > 1:
+            # one seed for the whole SPMD program: per-host random seeds
+            # would diverge replicated init / the global shuffle
+            from jax.experimental import multihost_utils
+
+            args.manualSeed = int(
+                multihost_utils.broadcast_one_to_all(
+                    jnp.asarray(args.manualSeed, jnp.int32)
+                )
+            )
     cfg["manualSeed"] = args.manualSeed
     cfg["replace"] = args.replace
     name = args.name or os.path.splitext(os.path.basename(args.cfg))[0]
