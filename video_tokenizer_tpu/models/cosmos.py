@@ -423,7 +423,6 @@ class CosmosDualSharedDecoder(nn.Module):
                 dtype=self.dtype, name=f"inject_scale_{top_scale}"
             )(h_mot, h_ref)
 
-        current_scale = top_scale
         for li, i_level in enumerate(reversed(range(ref_level_idx + 1))):
             scale = 2 ** (i_level + 1)
             block_out = (
@@ -433,7 +432,6 @@ class CosmosDualSharedDecoder(nn.Module):
             )
             blocks = []
             attns = []
-            tmp_in = block_in
             for j in range(self.num_res_blocks + 1):
                 blocks.append(
                     CausalResnetBlockFactorized3d(
@@ -441,7 +439,6 @@ class CosmosDualSharedDecoder(nn.Module):
                         dtype=self.dtype, name=f"up{li}_block{j}",
                     )
                 )
-                tmp_in = block_out
                 if scale in self.attn_resolutions:
                     attns.append((
                         CausalAttnBlock(dtype=self.dtype, name=f"up{li}_attn_s{j}"),
@@ -460,7 +457,12 @@ class CosmosDualSharedDecoder(nn.Module):
 
             h_ref = tower(h_ref)
             h_mot = tower(h_mot)
-            temporal_up = scale in (8, 4)
+            # mirror the encoder's motion_temporal_down_count: one temporal
+            # up per temporal down, at scales (4, 8, ...) — hardcoding
+            # (8, 4) silently desynchronized T_out from T under
+            # mot_time_down != 2
+            n_t_up = max(int(math.log2(self.motion_temporal_compression)), 0)
+            temporal_up = scale in tuple(2 ** (k + 2) for k in range(n_t_up))
             h_mot = CausalHybridUpsample3d(
                 spatial_up=True, temporal_up=temporal_up, dtype=self.dtype,
                 name=f"up{li}_upsample_mot",
@@ -530,16 +532,20 @@ class SimVQ(nn.Module):
     legacy: bool = True
 
     def setup(self):
-        # frozen anchor codebook: masked out of the optimizer by the trainer
-        self.embedding = self.param(
-            "embedding",
-            nn.initializers.normal(self.e_dim**-0.5),
-            (self.n_e, self.e_dim),
+        # frozen anchor codebook as a deterministic CONSTANT, not a param:
+        # a param would receive adamw's decoupled weight decay even with
+        # zero gradients (no trainer masks it), shrinking the anchors every
+        # step and collapsing the quantization geometry they anchor
+        self.embedding = (
+            jax.random.normal(
+                jax.random.PRNGKey(0), (self.n_e, self.e_dim), jnp.float32
+            )
+            * self.e_dim**-0.5
         )
         self.embedding_proj = nn.Dense(self.e_dim, name="embedding_proj")
 
     def _codebook(self):
-        return self.embedding_proj(jax.lax.stop_gradient(self.embedding))
+        return self.embedding_proj(self.embedding)
 
     def __call__(self, z):
         """z: [B, C, ...] -> (quantized, loss, indices [B, ...spatial])."""
@@ -626,12 +632,18 @@ class CosmosVideoTokenizer(nn.Module):
 
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         z_ref, z_mot = self.encoder(x, train=train)
-        if self.quantizer_type == "simvq":
-            z_ref_q, loss_ref, ind_ref = self.quantizer(z_ref)
-            z_mot_q, loss_mot, ind_mot = self.quantizer(z_mot)
-        else:
-            z_ref_q, loss_ref, ind_ref = self.quantizer(z_ref)
-            z_mot_q, loss_mot, ind_mot = self.quantizer(z_mot)
+        z_ref_q, loss_ref, ind_ref = self.quantizer(z_ref)
+        if z_mot is None:
+            # single-frame input has no motion branch; the dual decoder
+            # structurally needs one — encode_indices supports T==1, full
+            # reconstruction does not (same shape contract as the
+            # reference's dual decoder, cosmos.py:389-490)
+            raise ValueError(
+                "CosmosVideoTokenizer reconstruction needs T > 1 (no "
+                "motion latents for a single frame); use encode_indices "
+                "for image-only encoding"
+            )
+        z_mot_q, loss_mot, ind_mot = self.quantizer(z_mot)
         recon = self.decoder(z_ref_q, z_mot_q, train=train)
         return {
             "pred_frames": recon,
@@ -649,6 +661,11 @@ class CosmosVideoTokenizer(nn.Module):
         return ind_ref, ind_mot
 
     def decode_indices(self, ind_ref, ind_mot):
+        if ind_mot is None:
+            raise ValueError(
+                "decode_indices needs motion indices (T > 1); the dual "
+                "decoder cannot reconstruct from reference indices alone"
+            )
         z_ref_q = self.quantizer.get_codebook_entry(ind_ref)
         z_mot_q = self.quantizer.get_codebook_entry(ind_mot)
         return self.decoder(z_ref_q, z_mot_q)
@@ -663,11 +680,16 @@ def _cosmos_factory(**overrides):
 
 
 def _cosmos_fsq_factory(**overrides):
+    import numpy as _np
+
     fields = set(CosmosVideoTokenizer.__dataclass_fields__)
-    return CosmosVideoTokenizer(
-        quantizer_type="fsq",
-        **{k: v for k, v in overrides.items() if k in fields and k != "quantizer_type"},
-    )
+    kw = {k: v for k, v in overrides.items()
+          if k in fields and k != "quantizer_type"}
+    # model.codebook_size must report the FSQ vocabulary (prod of levels),
+    # not the simvq default — consumers size vocab/histograms from it
+    levels = tuple(kw.get("fsq_levels", (8, 8, 8, 5, 5, 5)))
+    kw["codebook_size"] = int(_np.prod(levels))
+    return CosmosVideoTokenizer(quantizer_type="fsq", **kw)
 
 
 models.update({"cosmos": _cosmos_factory, "cosmos_fsq": _cosmos_fsq_factory})

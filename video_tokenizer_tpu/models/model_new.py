@@ -193,7 +193,7 @@ class RoPEEncoder(nn.Module):
             pt=pt, p1=ph, p2=pw,
         ).astype(self.dtype)
         tokens = nn.Dense(
-            width, use_bias=True,
+            width, use_bias=True, dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(), name="proj_in",
         )(tokens)
 
@@ -276,13 +276,25 @@ class RoPEDecoder(nn.Module):
                 ],
                 width // heads,
             )
+            # each multi segment emits [toks 1D rows ‖ grid rows], but the
+            # decoder sequence is [cond latents ‖ latents ‖ pixel queries]
+            # — the conditioning frame's PIXEL grid is never decoded, so
+            # its grid rows must be cut out, not left to shift every later
+            # row (the torch reference crashes on this path with a
+            # broadcast error, so these semantics are defined here)
+            skip = int(np.prod(cond_patch_grid))
+            cos = np.concatenate(
+                [cos[: self.cond_tokens], cos[self.cond_tokens + skip:]], 0
+            )
+            sin = np.concatenate(
+                [sin[: self.cond_tokens], sin[self.cond_tokens + skip:]], 0
+            )
             if cond is None:
-                cos = cos[self.cond_tokens + int(np.prod(cond_patch_grid)):]
-                sin = sin[self.cond_tokens + int(np.prod(cond_patch_grid)):]
+                cos = cos[self.cond_tokens:]
+                sin = sin[self.cond_tokens:]
         else:
             cos, sin = mrope_cos_sin(self.in_tokens, list(grid), width // heads)
-        # The conditioned rope table covers [cond ‖ latents ‖ pixels]; the
-        # reference concatenates segment tables the same way (blocks.py:738).
+        # table now matches the sequence row-for-row: [cond ‖ latents ‖ pixels]
         cos = jnp.asarray(cos[: h.shape[1]])
         sin = jnp.asarray(sin[: h.shape[1]])
 
@@ -326,8 +338,13 @@ class RoPEAutoEncoder(nn.Module):
 
     @property
     def bottleneck_token_num(self) -> int:
-        n = self.num_latent_tokens
-        return n + self.first_frame_tokens if self.first_token else n
+        # the AR-facing token budget: ONLY the latent tokens that
+        # `bottleneck_rep` actually returns. The first-frame tokens are
+        # conditioning the prior never models — counting them here sized
+        # AR priors for a sequence they never see (decode of a sampled
+        # sequence still needs first-frame indices, so AR training on
+        # first_token variants requires a frame-conditioned prior).
+        return self.num_latent_tokens
 
     @property
     def codebook_size(self) -> int:
