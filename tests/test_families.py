@@ -50,3 +50,31 @@ def test_family_forward(name, args, shape):
     )
     assert out["pred_frames"].shape == shape
     assert np.isfinite(np.asarray(out["pred_frames"])).all()
+
+
+class TestTiTokPaths:
+    def test_batched_fast_path_matches_packed_and_protocol_decode(self):
+        """Uniform batches run batched [B, L] attention; numerics must
+        match the packed [1, B*L] path, and decode_from_bottleneck must
+        accept the uniform [B, N] protocol every other family exposes."""
+        import numpy as np
+
+        from video_tokenizer_tpu.registry import models as models_reg
+
+        m = models_reg.make({"name": "titok", "args": {
+            "model_size": "tiny", "num_latent_tokens": 8,
+            "input_size": 16, "frame_num": 4, "patch_size": (2, 8, 8)}})
+        x = jax.random.uniform(jax.random.PRNGKey(0), (3, 3, 4, 16, 16))
+        v = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(v, x)
+        assert out["pred_frames"].shape == x.shape
+
+        xl = [x[i] for i in range(3)]
+        enc_b = m.apply(v, xl, [8] * 3, method=m.encode_packed)
+        enc_1 = m.apply(v, [xl[0]], [8], method=m.encode_packed)
+        np.testing.assert_allclose(
+            np.asarray(enc_b[0][:8]), np.asarray(enc_1[0]), atol=2e-5
+        )
+
+        vid = m.apply(v, out["bottleneck_rep"], method=m.decode_from_bottleneck)
+        assert vid.shape == x.shape

@@ -14,9 +14,11 @@ Re-expresses `/root/reference/models/model_titok/` TPU-first:
     packs [latent tokens ‖ pixel mask tokens]; outputs are per-sample CTHW
     videos (base/blocks.py:82-230).
 
-Shapes: per-sample grids and token counts are Python-static at trace time;
-heterogeneous batches bucket to a static padded length (distinct shape sets
-compile once — the bucketing strategy from SURVEY.md §7 hard parts).
+Shapes: per-sample grids and token counts are Python-static at trace time.
+Uniform batches take a BATCHED [B, L] attention fast path (no packing);
+heterogeneous batches pack into one padded [1, sum(L_i)] sequence — callers
+can bucket shape sets to a fixed length via pack_segments' pad_to so each
+bucket compiles once (SURVEY.md §7 hard parts).
 
 Registered: 'titok' (base size, FSQ[8,8,8,5,5,5]).
 """
@@ -79,8 +81,9 @@ class PackedGQAAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, segment_ids):
-        """x: [1, L, C]; cos/sin: [L, hd/2]; segment_ids: [1, L]."""
-        _, L, C = x.shape
+        """x: [B, L, C]; cos/sin: [L, hd/2]; segment_ids: [B, L] or None
+        (None = uniform batch, no cross-sample masking needed)."""
+        B, L, C = x.shape
         hd = self.dim // self.q_heads
         gqa_dim = hd * self.kv_heads
         h = nn.LayerNorm(dtype=self.dtype, name="pre_ln")(x)
@@ -88,19 +91,22 @@ class PackedGQAAttention(nn.Module):
             gqa_dim * 2 + self.dim, use_bias=False, kernel_init=_trunc02,
             dtype=self.dtype, name="to_qkv",
         )(h)
-        q = qkv[..., : self.dim].reshape(1, L, self.q_heads, hd)
-        k = qkv[..., self.dim : self.dim + gqa_dim].reshape(1, L, self.kv_heads, hd)
-        v = qkv[..., self.dim + gqa_dim :].reshape(1, L, self.kv_heads, hd)
+        q = qkv[..., : self.dim].reshape(B, L, self.q_heads, hd)
+        k = qkv[..., self.dim : self.dim + gqa_dim].reshape(B, L, self.kv_heads, hd)
+        v = qkv[..., self.dim + gqa_dim :].reshape(B, L, self.kv_heads, hd)
         q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
         k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
+        # TODO(perf, needs TPU to validate): materializing K/V to q_heads
+        # negates GQA's bandwidth savings; a kernel-level h -> h//rep head
+        # index_map in ops/attention would stream 1/rep the K/V bytes
         rep = self.q_heads // self.kv_heads
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
         out = attention(
             q, k, v, segment_ids=segment_ids, use_pallas=self.use_pallas
-        ).reshape(1, L, C)
+        ).reshape(B, L, C)
         return nn.Dense(
             self.dim, use_bias=False, kernel_init=_trunc02,
             dtype=self.dtype, name="out_proj",
@@ -142,10 +148,7 @@ class PackedBlockStack(nn.Module):
 class TiTokEncoder(nn.Module):
     model_size: str = "base"
     patch_size: Sequence[int] = (4, 8, 8)
-    in_channels: int = 3
     out_channels: int = 6
-    max_grid: Sequence[int] = (16, 128, 128)
-    max_tokens: int = 1024
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
 
@@ -160,43 +163,72 @@ class TiTokEncoder(nn.Module):
         mask_token = self.param(
             "mask_token", lambda k, s: scale * jax.random.normal(k, s), (1, width)
         )
-        proj_in = nn.Dense(width, kernel_init=_trunc02, name="proj_in")
+        proj_in = nn.Dense(
+            width, kernel_init=_trunc02, dtype=self.dtype, name="proj_in"
+        )
+        stack = PackedBlockStack(
+            width, depth, heads[0], heads[1], mlp_ratio, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="blocks",
+        )
 
         grids = [
             [d // p for d, p in zip(v.shape[1:], self.patch_size)]
             for v in x_list
         ]
-        parts, cos_parts, sin_parts = [], [], []
-        for v, grid, n_tok in zip(x_list, grids, token_counts):
+        uniform = (
+            len(set(map(tuple, grids))) == 1 and len(set(token_counts)) == 1
+        )
+        if uniform and len(x_list) > 1:
+            # homogeneous batch: run [B, L] BATCHED attention instead of one
+            # [1, B*L] packed sequence — packing costs O((B*L)^2) attention
+            # FLOPs and a VMEM K/V footprint linear in batch size for zero
+            # benefit when every sample shares one grid
+            n_tok = token_counts[0]
+            v = jnp.stack(x_list, axis=0)
             patches = einops.rearrange(
-                v, "c (t pt) (h p1) (w p2) -> (t h w) (c pt p1 p2)",
+                v, "b c (t pt) (h p1) (w p2) -> b (t h w) (c pt p1 p2)",
                 pt=pt, p1=ph, p2=pw,
             ).astype(self.dtype)
             tokens = proj_in(patches)
-            masked = jnp.broadcast_to(mask_token.astype(tokens.dtype), (n_tok, width))
-            parts.append(jnp.concatenate([masked, tokens], axis=0))
-            c, s = mrope_cos_sin(n_tok, grid, hd, interleave=False)
-            cos_parts.append(c)
-            sin_parts.append(s)
+            B = tokens.shape[0]
+            masked = jnp.broadcast_to(
+                mask_token.astype(tokens.dtype), (B, n_tok, width)
+            )
+            hseq = jnp.concatenate([masked, tokens], axis=1)
+            c, s = mrope_cos_sin(n_tok, grids[0], hd, interleave=False)
+            hseq = stack(hseq, jnp.asarray(c), jnp.asarray(s), None)
+            out = hseq[:, :n_tok].reshape(B * n_tok, width)
+        else:
+            parts, cos_parts, sin_parts = [], [], []
+            for v, grid, n_tok in zip(x_list, grids, token_counts):
+                patches = einops.rearrange(
+                    v, "c (t pt) (h p1) (w p2) -> (t h w) (c pt p1 p2)",
+                    pt=pt, p1=ph, p2=pw,
+                ).astype(self.dtype)
+                tokens = proj_in(patches)
+                masked = jnp.broadcast_to(
+                    mask_token.astype(tokens.dtype), (n_tok, width)
+                )
+                parts.append(jnp.concatenate([masked, tokens], axis=0))
+                c, s = mrope_cos_sin(n_tok, grid, hd, interleave=False)
+                cos_parts.append(c)
+                sin_parts.append(s)
 
-        packed, seg, lens = pack_segments(parts)
-        L_pad = packed.shape[1]
-        cos = np.concatenate(cos_parts, axis=0)
-        sin = np.concatenate(sin_parts, axis=0)
-        cos = jnp.asarray(np.pad(cos, ((0, L_pad - cos.shape[0]), (0, 0))))
-        sin = jnp.asarray(np.pad(sin, ((0, L_pad - sin.shape[0]), (0, 0))))
+            packed, seg, lens = pack_segments(parts)
+            L_pad = packed.shape[1]
+            cos = np.concatenate(cos_parts, axis=0)
+            sin = np.concatenate(sin_parts, axis=0)
+            cos = jnp.asarray(np.pad(cos, ((0, L_pad - cos.shape[0]), (0, 0))))
+            sin = jnp.asarray(np.pad(sin, ((0, L_pad - sin.shape[0]), (0, 0))))
 
-        h = PackedBlockStack(
-            width, depth, heads[0], heads[1], mlp_ratio, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="blocks",
-        )(packed, cos, sin, seg)[0]
+            h = stack(packed, cos, sin, seg)[0]
 
-        outs = []
-        off = 0
-        for l, n_tok in zip(lens, token_counts):
-            outs.append(h[off : off + n_tok])
-            off += l
-        out = jnp.concatenate(outs, axis=0)
+            outs = []
+            off = 0
+            for l, n_tok in zip(lens, token_counts):
+                outs.append(h[off : off + n_tok])
+                off += l
+            out = jnp.concatenate(outs, axis=0)
         out = nn.LayerNorm(name="ln_post")(out.astype(jnp.float32))
         return nn.Dense(
             self.out_channels, kernel_init=_trunc02, name="proj_out"
@@ -206,10 +238,7 @@ class TiTokEncoder(nn.Module):
 class TiTokDecoder(nn.Module):
     model_size: str = "base"
     patch_size: Sequence[int] = (4, 8, 8)
-    in_channels: int = 6
     out_channels: int = 3
-    max_grid: Sequence[int] = (16, 128, 128)
-    max_tokens: int = 1024
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
 
@@ -235,6 +264,37 @@ class TiTokDecoder(nn.Module):
         h = nn.Dense(width, kernel_init=_trunc02, dtype=self.dtype, name="proj_in")(
             x.astype(self.dtype)
         )
+        ln_pre = nn.LayerNorm(dtype=self.dtype, name="ln_pre")
+        stack = PackedBlockStack(
+            width, depth, heads[0], heads[1], mlp_ratio, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="blocks",
+        )
+        proj_out = nn.Dense(
+            self.out_channels * pt * ph * pw, kernel_init=_trunc02,
+            name="proj_out",
+        )
+        uniform = (
+            len(set(map(tuple, patch_grids))) == 1
+            and len(set(token_counts)) == 1
+        )
+        if uniform and len(token_counts) > 1:
+            # homogeneous batch: batched attention (see TiTokEncoder)
+            B = len(token_counts)
+            n_tok, gs, pg = token_counts[0], grid_sizes[0], patch_grids[0]
+            latents = h.reshape(B, n_tok, width)
+            masked = jnp.broadcast_to(
+                mask_token.astype(h.dtype), (B, gs, width)
+            )
+            hseq = ln_pre(jnp.concatenate([latents, masked], axis=1))
+            c, s = mrope_cos_sin(n_tok, pg, hd, interleave=False)
+            out = stack(hseq, jnp.asarray(c), jnp.asarray(s), None)
+            pix = proj_out(out[:, n_tok:].astype(jnp.float32))
+            return list(einops.rearrange(
+                pix, "b (t h w) (c pt p1 p2) -> b c (t pt) (h p1) (w p2)",
+                t=pg[0], h=pg[1], w=pg[2], c=self.out_channels,
+                pt=pt, p1=ph, p2=pw,
+            ))
+
         parts, cos_parts, sin_parts = [], [], []
         off = 0
         for n_tok, gs, pg in zip(token_counts, grid_sizes, patch_grids):
@@ -247,22 +307,15 @@ class TiTokDecoder(nn.Module):
             sin_parts.append(s)
 
         packed, seg, lens = pack_segments(parts)
-        packed = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(packed)
+        packed = ln_pre(packed)
         L_pad = packed.shape[1]
         cos = np.concatenate(cos_parts, axis=0)
         sin = np.concatenate(sin_parts, axis=0)
         cos = jnp.asarray(np.pad(cos, ((0, L_pad - cos.shape[0]), (0, 0))))
         sin = jnp.asarray(np.pad(sin, ((0, L_pad - sin.shape[0]), (0, 0))))
 
-        out = PackedBlockStack(
-            width, depth, heads[0], heads[1], mlp_ratio, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="blocks",
-        )(packed, cos, sin, seg)[0]
+        out = stack(packed, cos, sin, seg)[0]
 
-        proj_out = nn.Dense(
-            self.out_channels * pt * ph * pw, kernel_init=_trunc02,
-            name="proj_out",
-        )
         videos = []
         off = 0
         for l, n_tok, pg in zip(lens, token_counts, patch_grids):
@@ -301,18 +354,15 @@ class TiTok(nn.Module):
         return int(np.prod(self.fsq_levels))
 
     def setup(self):
-        max_grid = (self.frame_num, self.input_size, self.input_size)
         self.encoder = TiTokEncoder(
             model_size=self.model_size, patch_size=self.patch_size,
-            out_channels=len(self.fsq_levels), max_grid=max_grid,
-            max_tokens=self.num_latent_tokens, dtype=self.dtype,
+            out_channels=len(self.fsq_levels), dtype=self.dtype,
             use_pallas=self.use_pallas, name="encoder",
         )
         self.quantize = FSQ(self.fsq_levels)
         self.decoder = TiTokDecoder(
             model_size=self.model_size, patch_size=self.patch_size,
-            in_channels=len(self.fsq_levels), out_channels=self.in_channels,
-            max_grid=max_grid, max_tokens=self.num_latent_tokens,
+            out_channels=self.in_channels,
             dtype=self.dtype, use_pallas=self.use_pallas, name="decoder",
         )
 
@@ -324,7 +374,24 @@ class TiTok(nn.Module):
     def decode_packed(self, x_q, token_counts, grids):
         return self.decoder(x_q, token_counts, grids)
 
-    def decode_from_bottleneck(self, indices_list: List[jax.Array], grids):
+    def decode_from_bottleneck(self, indices, grids=None):
+        """Uniform-protocol entry (matches every other family, so sample.py
+        / the AR trainer work unchanged): `indices` [B, N] int with
+        grids=None decodes at the configured frame_num/input_size. The
+        heterogeneous form — a LIST of per-sample index arrays plus
+        explicit grids — is kept for packed use."""
+        if not isinstance(indices, (list, tuple)):
+            B, N = indices.shape
+            if grids is None:
+                grids = [
+                    (self.in_channels, self.frame_num,
+                     self.input_size, self.input_size)
+                ] * B
+            codes = self.quantize.indices_to_codes(
+                indices.reshape(B * N)
+            ).astype(jnp.float32)
+            return jnp.stack(self.decoder(codes, [N] * B, grids), axis=0)
+        indices_list = indices
         token_counts = [int(i.shape[0]) for i in indices_list]
         codes = self.quantize.indices_to_codes(
             jnp.concatenate(indices_list, axis=0)

@@ -106,7 +106,12 @@ def mrope_cos_sin_multi(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Multi-segment variant (rope.py:119-143): each (in_tokens, grid) segment
     continues the position numbering of the previous one. Returns one
-    concatenated (cos, sin) pair covering all segments in order."""
+    concatenated (cos, sin) pair covering all segments in order.
+
+    Parity quirk (kept, verified identical to the reference): the offset is
+    grids[i-1].max() WITHOUT +1 — the reference's own '+ 1 extra?' comment
+    flags the doubt — so segment i's first position coincides with segment
+    i-1's last, making those two tokens rotationally indistinguishable."""
     n_axes = len(in_seqs[0][1])
     dims = _axes_dims(head_dim, n_axes)
     grids = []
