@@ -78,3 +78,17 @@ class TestTiTokPaths:
 
         vid = m.apply(v, out["bottleneck_rep"], method=m.decode_from_bottleneck)
         assert vid.shape == x.shape
+
+
+def test_vfm_exposes_trainer_geometry():
+    """Both trainers read int(model.frame_num) / int(model.input_size) at
+    init (tokenizer_trainer.py:89, ar_trainer.py:115) — the vfm family
+    must expose them like every other registered tokenizer."""
+    from video_tokenizer_tpu.registry import models as models_reg
+
+    for name in ("larp_tokenizer_vfm_noquant", "larp_tokenizer_vfm"):
+        m = models_reg.make({"name": name, "args": {
+            "teacher_dim": 32, "teacher_depth": 1, "teacher_heads": 2,
+            "vjepa2_img_size": 32, "vjepa2_num_frames": 4,
+            "out_layers": (0,)}})
+        assert int(m.frame_num) == 4 and int(m.input_size) == 32

@@ -319,10 +319,11 @@ class BasicAutoEncoder(nn.Module):
 
     @property
     def bottleneck_token_num(self) -> int:
-        n = self.num_latent_tokens
-        return (
-            n + self.first_frame_tokens if self.arch == "first_token" else n
-        )
+        # AR-facing token budget: only what encode()'s bottleneck_rep
+        # returns. Counting the first-frame conditioning tokens sized AR
+        # priors for a sequence they never see and broke sampling (the
+        # decoder still needs first_indices — see decode_from_bottleneck).
+        return self.num_latent_tokens
 
     @property
     def codebook_size(self) -> int:
@@ -400,6 +401,13 @@ class BasicAutoEncoder(nn.Module):
     def decode_from_bottleneck(self, indices, first_indices=None):
         x_q = self.quantize.indices_to_codes(indices).astype(jnp.float32)
         if self.arch == "first_token":
+            if first_indices is None:
+                raise ValueError(
+                    "first_token decode needs first-frame indices: a plain "
+                    "class-conditional AR prior cannot drive this family — "
+                    "use frame-prediction sampling (which encodes the "
+                    "conditioning frame) or a non-first_token arch"
+                )
             f_q = self.quantize.indices_to_codes(first_indices).astype(jnp.float32)
             return self.decoder(x_q, f_q)
         return self.decoder(x_q)

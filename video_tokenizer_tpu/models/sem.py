@@ -270,7 +270,9 @@ class LARPTokenizerSem(nn.Module):
 
     def __call__(self, data, train: bool = False) -> Dict[str, Any]:
         out = self.tokenizer(data, train=train)
-        if self.use_vjepa_loss:
+        # reference larp_sem.py computes the alignment only under
+        # self.training — eval batches skip the (expensive) teacher forward
+        if self.use_vjepa_loss and train:
             from .vfm import IMAGENET_MEAN, IMAGENET_STD
 
             B, C, T, H, W = data.shape
@@ -286,15 +288,22 @@ class LARPTokenizerSem(nn.Module):
                 s // self.vjepa2_patch_size,
                 s // self.vjepa2_patch_size,
             )
-            rng = (
-                self.make_rng("kmeans")
-                if self.has_rng("kmeans")
-                else jax.random.PRNGKey(0)
-            )
+            # fresh SoftKMeans centers every step like the reference's
+            # torch.randint; fall back to the 'vq' stream (which the
+            # tokenizer trainer always provides) when no dedicated
+            # 'kmeans' stream is given
+            if self.has_rng("kmeans"):
+                rng = self.make_rng("kmeans")
+            elif self.has_rng("vq"):
+                rng = jax.random.fold_in(self.make_rng("vq"), 77)
+            else:
+                rng = jax.random.PRNGKey(0)
             align_loss, info = self.aligner(
                 out["encoded"], teacher_feats, tg, rng
             )
-            out["align_loss"] = align_loss
+            # 0.5x: reference larp_sem.py:815 halves align_loss before the
+            # trainer's 0.2 weight
+            out["align_loss"] = 0.5 * align_loss
             out["gram_loss"] = info["gram_loss"]
         return out
 

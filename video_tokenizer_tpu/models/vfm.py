@@ -99,7 +99,9 @@ class VJEPA2TeacherViT(nn.Module):
 
 
 class GatedLinearLayerFusion(nn.Module):
-    """sum_l sigmoid(MLP(LN(f_l))) * Linear(LN(f_l)), post-LN (vfm.py:145-216)."""
+    """sum_l sigmoid(MLP(LN(f_l))) * Linear(LN(f_l)), post-LN
+    (larp_tokenizer_vfm.py:145-216; ONE pre_ln SHARED across layers,
+    matching the reference's single self.pre_ln)."""
 
     dim: int
     num_layers: int
@@ -109,9 +111,10 @@ class GatedLinearLayerFusion(nn.Module):
     def __call__(self, feats_list: List[jax.Array]) -> jax.Array:
         assert len(feats_list) == self.num_layers
         hidden = max(1, int(self.dim * self.gate_hidden_ratio))
+        pre_ln = nn.LayerNorm(name="pre_ln")
         fused = None
         for i, f in enumerate(feats_list):
-            x = nn.LayerNorm(name=f"pre_ln_{i}")(f)
+            x = pre_ln(f)
             g = nn.Dense(hidden, name=f"gate_fc1_{i}")(x)
             g = nn.gelu(g, approximate=False)
             g = jax.nn.sigmoid(nn.Dense(1, name=f"gate_fc2_{i}")(g))
@@ -121,37 +124,75 @@ class GatedLinearLayerFusion(nn.Module):
         return nn.LayerNorm(name="post_ln")(fused)
 
 
-class LightweightSemanticInjector(nn.Module):
-    """Channel-gated injection of deep semantics into shallow features
-    (vfm.py:43-114): deep features modulate shallow via a reduced channel
-    MLP gate + depthwise spatial conv refinement."""
+class ConcatLayerFusion(nn.Module):
+    """Per-layer LayerNorm -> concat -> Linear(L*D -> D) -> GELU — the
+    reference noquant model's (only) fusion
+    (larp_tokenizer_vfm.py:1100-1200)."""
 
     dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, feats_list: List[jax.Array]) -> jax.Array:
+        assert len(feats_list) == self.num_layers
+        normed = [
+            nn.LayerNorm(name=f"ln_{i}")(f) for i, f in enumerate(feats_list)
+        ]
+        h = nn.Dense(self.dim, name="fusion_fc")(
+            jnp.concatenate(normed, axis=-1)
+        )
+        return nn.gelu(h, approximate=False)
+
+
+class LightweightSemanticInjector(nn.Module):
+    """AdaIN-style injection (reference larp_tokenizer_vfm.py:43-114):
+    deep -> proj_down+SiLU -> DEPTHWISE Conv3d spatial mix -> SiLU ->
+    ZERO-INIT proj_up -> (scale, shift); GroupNorm(32)(shallow) modulated
+    by (scale+1, shift) plus a residual — exactly identity at init."""
+
+    dim: int
+    grid: Tuple[int, int, int]
     reduction_ratio: int = 128
     kernel_size: int = 3
 
     @nn.compact
     def __call__(self, x_shallow, x_deep):
+        B, N, D = x_shallow.shape
+        T, H, W = self.grid
         hidden = max(1, self.dim // self.reduction_ratio)
-        g = jnp.mean(x_deep, axis=1, keepdims=True)  # [B, 1, D]
-        g = nn.Dense(hidden, name="squeeze")(g)
-        g = nn.gelu(g, approximate=False)
-        g = jax.nn.sigmoid(nn.Dense(self.dim, name="excite")(g))
-        inj = nn.Dense(self.dim, name="proj")(nn.LayerNorm(name="ln")(x_deep))
-        return x_shallow + g * inj
+        h = nn.silu(nn.Dense(hidden, name="proj_down")(x_deep))
+        h3 = h.reshape(B, T, H, W, hidden)
+        h3 = nn.Conv(
+            hidden, (self.kernel_size,) * 3, padding="SAME",
+            feature_group_count=hidden, name="spatial_mix",
+        )(h3)
+        h = h3.reshape(B, N, hidden)
+        style = nn.Dense(
+            2 * D, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name="proj_up",
+        )(nn.silu(h))
+        scale, shift = jnp.split(style, 2, axis=-1)
+        shallow_norm = nn.GroupNorm(num_groups=32, name="norm_shallow")(
+            x_shallow
+        )
+        return x_shallow + shallow_norm * (scale + 1.0) + shift
 
 
 class SemanticPyramidFusion(nn.Module):
-    """Cascade injectors l31->l24->l16->l8 (vfm.py:116-143)."""
+    """Cascade injectors l31->l24->l16->l8 (larp_tokenizer_vfm.py:116-143)."""
 
     dim: int
+    grid: Tuple[int, int, int]
 
     @nn.compact
     def __call__(self, feats_list: List[jax.Array]) -> jax.Array:
         f8, f16, f24, f31 = feats_list
-        h = LightweightSemanticInjector(self.dim, name="injector_l24")(f24, f31)
-        h = LightweightSemanticInjector(self.dim, name="injector_l16")(f16, h)
-        h = LightweightSemanticInjector(self.dim, name="injector_l8")(f8, h)
+        h = LightweightSemanticInjector(
+            self.dim, self.grid, name="injector_l24")(f24, f31)
+        h = LightweightSemanticInjector(
+            self.dim, self.grid, name="injector_l16")(f16, h)
+        h = LightweightSemanticInjector(
+            self.dim, self.grid, name="injector_l8")(f8, h)
         return nn.LayerNorm(name="out_ln")(h)
 
 
@@ -164,7 +205,7 @@ class _VFMBase(nn.Module):
     vjepa2_patch_size: int = 16
     vjepa2_tubelet_size: int = 2
     out_layers: tuple = (8, 16, 24, 31)
-    fusion: str = "gated"  # 'gated' | 'pyramid' | 'last'
+    fusion: str = "gated"  # 'gated' | 'pyramid' | 'concat' | 'last'
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
 
@@ -193,12 +234,50 @@ class _VFMBase(nn.Module):
         std = IMAGENET_STD.reshape(1, 3, 1, 1, 1)
         return (x - mean) / std
 
+    @property
+    def frame_num(self) -> int:
+        """Trainer-facing clip geometry (reference sets input_size/frame_num
+        on the module, larp_tokenizer_vfm.py:347-348)."""
+        return self.vjepa2_num_frames
+
+    @property
+    def input_size(self) -> int:
+        return self.vjepa2_img_size
+
+    @property
+    def teacher_grid(self):
+        return (
+            self.vjepa2_num_frames // self.vjepa2_tubelet_size,
+            self.vjepa2_img_size // self.vjepa2_patch_size,
+            self.vjepa2_img_size // self.vjepa2_patch_size,
+        )
+
+    def _make_fusion(self):
+        if self.fusion == "gated":
+            return GatedLinearLayerFusion(
+                self.teacher_dim, len(self.out_layers), name="fusion_proj"
+            )
+        if self.fusion == "pyramid":
+            return SemanticPyramidFusion(
+                self.teacher_dim, self.teacher_grid, name="fusion_proj"
+            )
+        if self.fusion == "concat":
+            return ConcatLayerFusion(
+                self.teacher_dim, len(self.out_layers), name="fusion_proj"
+            )
+        return None  # 'last'
+
     def _extract_vfm_features(self, x):
         xt = self._preprocess_for_teacher(x.astype(jnp.float32))
-        taps = self.teacher(jax.lax.stop_gradient(xt))
-        if self.fusion == "gated":
-            return self.fusion_proj(taps)
-        if self.fusion == "pyramid":
+        # stop_gradient ON THE TAPS freezes the teacher: gradients from the
+        # fusion/decoder losses must never update VJEPA2 weights (the
+        # reference sets requires_grad=False); an input-side stop_gradient
+        # alone does NOT cut the parameter gradients.
+        taps = [
+            jax.lax.stop_gradient(t)
+            for t in self.teacher(jax.lax.stop_gradient(xt))
+        ]
+        if self.fusion in ("gated", "pyramid", "concat"):
             return self.fusion_proj(taps)
         return taps[-1]
 
@@ -211,21 +290,17 @@ class LARPTokenizerVFMNoQuant(_VFMBase):
     decoder_hidden_size: int = 768
     dec_depth: int = 16
     dec_heads: int = 12
-    out_frames: int = 32
-    out_size: int = 256
+    # reference noquant always uses per-layer-LN + concat + Linear + GELU
+    # fusion (larp_tokenizer_vfm.py:1100-1200) — make it the default here
+    fusion: str = "concat"
     bottleneck: Any = None
     prior_model: Any = None
 
     def setup(self):
         self.teacher = self._make_teacher()
-        if self.fusion == "gated":
-            self.fusion_proj = GatedLinearLayerFusion(
-                self.teacher_dim, len(self.out_layers), name="fusion_proj"
-            )
-        elif self.fusion == "pyramid":
-            self.fusion_proj = SemanticPyramidFusion(
-                self.teacher_dim, name="fusion_proj"
-            )
+        fp = self._make_fusion()
+        if fp is not None:
+            self.fusion_proj = fp
         d = self.decoder_hidden_size
         self.dec_to_decimage = nn.Dense(d, name="dec_to_decimage")
         n_tokens = (
@@ -304,14 +379,9 @@ class LARPTokenizerVFM(_VFMBase):
 
     def setup(self):
         self.teacher = self._make_teacher()
-        if self.fusion == "gated":
-            self.fusion_proj = GatedLinearLayerFusion(
-                self.teacher_dim, len(self.out_layers), name="fusion_proj"
-            )
-        elif self.fusion == "pyramid":
-            self.fusion_proj = SemanticPyramidFusion(
-                self.teacher_dim, name="fusion_proj"
-            )
+        fp = self._make_fusion()
+        if fp is not None:
+            self.fusion_proj = fp
         enc_d, dec_d = self.encoder_hidden_size, self.decoder_hidden_size
         n = self.teacher_tokens
         self.jepa_to_encoder = nn.Dense(enc_d, name="jepa_to_encoder")
