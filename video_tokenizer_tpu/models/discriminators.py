@@ -52,10 +52,13 @@ class SpectralConv1d(nn.Module):
         v = v / (jnp.linalg.norm(v) + 1e-12)
         u_new = w.T @ v
         u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-        sigma = v @ w @ u_new
         if update_stats and not self.is_initializing():
             u.value = jax.lax.stop_gradient(u_new)
-        w_sn = kernel / jnp.maximum(jax.lax.stop_gradient(sigma), 1e-12)
+        # detach only u/v (torch.nn.utils.spectral_norm semantics): sigma
+        # stays differentiable so the gradient carries the -W(uv^T)/sigma^2
+        # term that actively suppresses the top singular value
+        sigma = jax.lax.stop_gradient(v) @ w @ jax.lax.stop_gradient(u_new)
+        w_sn = kernel / jnp.maximum(sigma, 1e-12)
         pad = self.kernel_size // 2
         return jax.lax.conv_general_dilated(
             x, w_sn, (1,), ((pad, pad),),
@@ -155,8 +158,14 @@ class DinoDisc(nn.Module):
         ]
 
     def __call__(self, x_in_pm1, update_stats: bool = False) -> jax.Array:
-        """x: [B, C, H, W] in [-1, 1] -> concatenated logits [B, 5L]."""
-        acts = self.dino(jax.lax.stop_gradient(x_in_pm1.astype(jnp.float32)))
+        """x: [B, C, H, W] in [-1, 1] -> concatenated logits [B, 5L].
+
+        The input stays DIFFERENTIABLE — the generator's adversarial
+        gradient flows through the frozen DINO features (StyleGAN-T). A
+        trainer using this discriminator must mask the 'dino' subtree out
+        of its optimizer (freezing is an optimizer concern; an input-side
+        stop_gradient would zero d(logits)/d(x) and train nothing)."""
+        acts = self.dino(x_in_pm1.astype(jnp.float32))
         B = x_in_pm1.shape[0]
         outs = [
             h(a, update_stats).reshape(B, -1)
@@ -171,5 +180,20 @@ def load_dino_weights(variables, npz_path: str):
     data = np.load(npz_path, allow_pickle=True)
     dino = jax.tree_util.tree_map(jnp.asarray, data["params"].item())
     params = dict(variables["params"])
+    # the pretrained pos_embed is a 224/16=14x14 grid (+cls); bilinearly
+    # interpolate it to this discriminator's token grid (StyleGAN-T does
+    # the same) — otherwise any input size other than 224 fails to add
+    tgt = params["dino"].get("pos_embed")
+    src_pe = dino.get("pos_embed")
+    if tgt is not None and src_pe is not None and tgt.shape != src_pe.shape:
+        cls_tok, grid = src_pe[:, :1], src_pe[:, 1:]
+        n_src = int(np.sqrt(grid.shape[1]))
+        n_tgt = int(np.sqrt(tgt.shape[1] - 1))
+        grid = grid.reshape(1, n_src, n_src, -1)
+        grid = jax.image.resize(
+            grid, (1, n_tgt, n_tgt, grid.shape[-1]), method="bilinear"
+        ).reshape(1, n_tgt * n_tgt, -1)
+        dino = dict(dino)
+        dino["pos_embed"] = jnp.concatenate([cls_tok, grid], axis=1)
     params["dino"] = dino
     return {**variables, "params": params}

@@ -428,7 +428,9 @@ class CNNViTAutoEncoder(nn.Module):
         enc = self.encode(data, train=train)
         pred = self.decode(enc["encoded"])
         out = {"pred_frames": pred, **{k: v for k, v in enc.items() if k != "latents"}}
-        if self.align != "none":
+        # train-only like the sibling sem family: eval batches skip the
+        # expensive teacher forward (reference computes under self.training)
+        if self.align != "none" and train:
             B, C, T, H, W = data.shape
             s = self.vjepa2_img_size
             xt = data.astype(jnp.float32)
@@ -439,11 +441,15 @@ class CNNViTAutoEncoder(nn.Module):
                 self.teacher(jax.lax.stop_gradient(xt))[-1]
             )
             student = self.align_proj(enc["latents"].astype(jnp.float32))
-            rng = (
-                self.make_rng("kmeans")
-                if self.has_rng("kmeans")
-                else jax.random.PRNGKey(0)
-            )
+            # fresh SoftKMeans centers each step; fall back to the 'vq'
+            # stream the trainer always provides (a fixed PRNGKey would
+            # freeze the centers for the whole run)
+            if self.has_rng("kmeans"):
+                rng = self.make_rng("kmeans")
+            elif self.has_rng("vq"):
+                rng = jax.random.fold_in(self.make_rng("vq"), 77)
+            else:
+                rng = jax.random.PRNGKey(0)
             r1, r2 = jax.random.split(rng)
             if self.align == "softalign":
                 # commented-out reference variant

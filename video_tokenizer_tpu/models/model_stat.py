@@ -178,6 +178,8 @@ class AutoEncoderStat(nn.Module):
             self.quantize.indices_to_codes(indices).astype(jnp.float32)
         )
 
+    decode_indices = decode_from_bottleneck  # uniform family protocol
+
     def __call__(self, data, train: bool = False, stage: str = "adaptive"):
         enc = self.encode(data, train=train, stage=stage)
         pred = self.decode(enc["encoded"])

@@ -90,7 +90,7 @@ class Tokenizer1D(nn.Module):
 
 
 class TeacherSpaceAutoEncoder(nn.Module):
-    fusion: str = "gated"  # 'gated' | 'pyramid' | 'last'
+    fusion: str = "gated"  # 'gated' | 'pyramid' | 'concat' | 'last'
     use_quantizer: bool = True
     model_size: str = "base"
     fsq_levels: tuple = (8, 8, 8, 5, 5, 5)
@@ -131,6 +131,16 @@ class TeacherSpaceAutoEncoder(nn.Module):
         return self.num_latent_tokens
 
     @property
+    def frame_num(self) -> int:
+        """Trainer-facing clip geometry (tokenizer_trainer.py:89,
+        ar_trainer.py:115 read these at init)."""
+        return self.vjepa2_num_frames
+
+    @property
+    def input_size(self) -> int:
+        return self.vjepa2_img_size
+
+    @property
     def codebook_size(self) -> int:
         return int(np.prod(self.fsq_levels))
 
@@ -150,7 +160,13 @@ class TeacherSpaceAutoEncoder(nn.Module):
             )
         elif self.fusion == "pyramid":
             self.fusion_proj = SemanticPyramidFusion(
-                self.teacher_dim, name="fusion_proj"
+                self.teacher_dim, self.vfm_grid, name="fusion_proj"
+            )
+        elif self.fusion == "concat":
+            from .vfm import ConcatLayerFusion
+
+            self.fusion_proj = ConcatLayerFusion(
+                self.teacher_dim, len(self.out_layers), name="fusion_proj"
             )
         token_size = len(self.fsq_levels)
         self.tokenizer_encoder = Tokenizer1D(
@@ -185,8 +201,13 @@ class TeacherSpaceAutoEncoder(nn.Module):
         if (H, W) != (s, s):
             xt = jax.image.resize(xt, (B, C, T, s, s), method="bilinear")
         xt = (xt - IMAGENET_MEAN.reshape(1, 3, 1, 1, 1)) / IMAGENET_STD.reshape(1, 3, 1, 1, 1)
-        taps = self.teacher(jax.lax.stop_gradient(xt))
-        if self.fusion in ("gated", "pyramid"):
+        # stop_gradient on the TAPS freezes the teacher (input-side alone
+        # does not cut parameter gradients — see vfm.py:_extract_vfm_features)
+        taps = [
+            jax.lax.stop_gradient(t)
+            for t in self.teacher(jax.lax.stop_gradient(xt))
+        ]
+        if self.fusion in ("gated", "pyramid", "concat"):
             return self.fusion_proj(taps)
         return taps[-1]
 
