@@ -300,3 +300,36 @@ class TestTokenizerConversion:
         assert np.allclose(
             np.asarray(out["pred_frames"]), ref.numpy(), atol=5e-5
         )
+
+
+def test_lpips_state_dict_mapping_uses_global_indices():
+    """The lpips package registers VGG convs under their GLOBAL torchvision
+    feature index inside each slice (net.slice2.5.weight = feature 5) —
+    the converter must map all 13 convs without adding slice offsets."""
+    import numpy as np
+
+    from video_tokenizer_tpu.models.lpips import load_torch_lpips_state_dict
+
+    tv_conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    out_ch = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    in_ch = [3] + out_ch[:-1]
+    slices = {1: range(0, 4), 2: range(4, 9), 3: range(9, 16),
+              4: range(16, 23), 5: range(23, 30)}
+    sd = {}
+    for ci, tv in enumerate(tv_conv_idx):
+        s = next(k for k, r in slices.items() if tv in r)
+        sd[f"net.slice{s}.{tv}.weight"] = np.zeros(
+            (out_ch[ci], in_ch[ci], 3, 3), np.float32
+        )
+        sd[f"net.slice{s}.{tv}.bias"] = np.zeros((out_ch[ci],), np.float32)
+    taps = [64, 128, 256, 512, 512]
+    for i, c in enumerate(taps):
+        sd[f"lin{i}.model.1.weight"] = np.zeros((1, c, 1, 1), np.float32)
+
+    params = load_torch_lpips_state_dict(sd)
+    assert len(params["net"]) == 13
+    for ci in range(13):
+        k = params["net"][f"conv{ci}"]["kernel"]
+        assert k.shape == (3, 3, in_ch[ci], out_ch[ci]), (ci, k.shape)
+    for i, c in enumerate(taps):
+        assert params[f"lin{i}"].shape == (1, 1, 1, c)

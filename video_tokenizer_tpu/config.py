@@ -75,6 +75,13 @@ def coerce_value(v: str) -> Any:
         return False
     if lv in ("none", "null"):
         return None
+    if "_" in v:
+        # NEVER coerce '_'-joined strings: Python's int()/float() accept
+        # underscores as digit separators, so '8_8_8' would become 888 and
+        # '1.0_1' would become 1.01 — but these are the reference's list
+        # syntax (cls_vid_num '10_100', ema_decay '0.999_0.9999',
+        # rand_augment '2_9_31'), consumed as strings by the trainers
+        return v
     try:
         return int(v)
     except ValueError:

@@ -72,10 +72,15 @@ def _apply_op(img: Image.Image, op: str, mag: float) -> Image.Image:
         return img
     if op == "ShearX":
         # torchvision shears by angle: shear factor = tan(deg); its
-        # RandAugment passes degrees(atan(mag)) so the factor is mag itself
-        return _affine(img, (1.0, mag, 0.0, 0.0, 1.0, 0.0))
+        # RandAugment passes degrees(atan(mag)) so the factor is mag
+        # itself. Shear about the image CENTER like torchvision (a raw
+        # PIL matrix shears about the top-left corner, pushing twice as
+        # much content out of frame on one side).
+        cy = img.size[1] / 2.0
+        return _affine(img, (1.0, mag, -mag * cy, 0.0, 1.0, 0.0))
     if op == "ShearY":
-        return _affine(img, (1.0, 0.0, 0.0, mag, 1.0, 0.0))
+        cx = img.size[0] / 2.0
+        return _affine(img, (1.0, 0.0, 0.0, mag, 1.0, -mag * cx))
     if op == "TranslateX":
         return _affine(img, (1.0, 0.0, -mag, 0.0, 1.0, 0.0))
     if op == "TranslateY":

@@ -86,8 +86,14 @@ class LabelEmbedder(nn.Module):
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         use_cfg = self.dropout_prob > 0
+        # ALWAYS allocate the null row: CFG sampling, negative labels, and
+        # force-drops all index num_classes regardless of dropout_prob —
+        # with a bare num_classes-row table those lookups are out of range
+        # and nn.Embed's fill mode silently returns NaN. (The reference
+        # sizes the table num_classes + (dropout>0) and would crash
+        # instead; one always-present row is the safe superset.)
         table = nn.Embed(
-            self.num_classes + int(use_cfg), self.hidden_size,
+            self.num_classes + 1, self.hidden_size,
             embedding_init=nn.initializers.normal(0.02),
             name="embedding_table",
         )
@@ -120,8 +126,9 @@ class LatentTokenEmbedder(nn.Module):
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         use_cfg = self.dropout_prob > 0
+        # null row always allocated — see LabelEmbedder
         table = nn.Embed(
-            self.codebook_size + int(use_cfg), self.hidden_size,
+            self.codebook_size + 1, self.hidden_size,
             embedding_init=nn.initializers.normal(0.02),
             name="embedding_table",
         )
@@ -152,11 +159,14 @@ class LatentContEmbedder(nn.Module):
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         x = nn.Dense(self.hidden_size, name="embedding_map")(embs)
-        if self.dropout_prob > 0:
-            uncond = self.param(
-                "uncond_embed", nn.initializers.zeros, (self.hidden_size,)
-            )
-            if train or force_drop_ids is not None:
+        # null embedding always allocated (consistent CFG contract with the
+        # discrete embedders): force_drop must not silently no-op just
+        # because dropout_prob == 0
+        uncond = self.param(
+            "uncond_embed", nn.initializers.zeros, (self.hidden_size,)
+        )
+        if self.dropout_prob > 0 or force_drop_ids is not None:
+            if (train and self.dropout_prob > 0) or force_drop_ids is not None:
                 if force_drop_ids is None:
                     if rng is None:
                         rng = self.make_rng("dropout")

@@ -65,7 +65,11 @@ class FSQ:
 
     def codes_to_indices(self, zhat: jax.Array) -> jax.Array:
         zhat = self._scale_and_shift(zhat)
-        return jnp.sum(zhat * self.basis, axis=-1).astype(jnp.int32)
+        # mixed-radix sum in INTEGER math: a float32 accumulation loses
+        # exactness above 2^24 and would collide indices for large level
+        # products (e.g. eight levels of 8)
+        digits = jnp.round(zhat).astype(jnp.int32)
+        return jnp.sum(digits * self.basis.astype(jnp.int32), axis=-1)
 
     def indices_to_level_indices(self, indices: jax.Array) -> jax.Array:
         indices = indices[..., None]

@@ -98,29 +98,26 @@ def load_torch_lpips_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     lin{0..4}.model.1.weight ([1, C, 1, 1]).
     """
     params: Dict[str, Any] = {"net": {}}
-    conv_i = 0
-    torch_conv_indices = []  # flatten slices in order
-    for key in sorted(sd.keys()):
-        pass  # handled below by direct iteration
     # VGG torchvision features indices for conv layers:
     tv_conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
-    # lpips stores them as net.slice1..5; rebuild flat index -> (slice, local idx)
-    flat = {}
-    for k, v in sd.items():
-        if k.startswith("net."):
-            flat[k] = v
-    # map: iterate convs in order of tv index by sorting lpips keys semantically
-    slice_offsets = {1: 0, 2: 4, 3: 9, 4: 16, 5: 23}
+    # the lpips package builds each sliceN with add_module(str(x), ...)
+    # where x is the GLOBAL torchvision feature index (lpips
+    # pretrained_networks.py vgg16) — e.g. net.slice2.5.weight is feature 5.
+    # The in-slice number therefore IS the tv index; do NOT add an offset.
     conv_map = {}
-    for k, v in flat.items():
-        # e.g. net.slice1.0.weight
-        parts = k.split(".")
-        s = int(parts[1].replace("slice", ""))
-        local = int(parts[2])
-        tv_index = slice_offsets[s] + local
+    for k, v in sd.items():
+        if not k.startswith("net."):
+            continue
+        parts = k.split(".")  # e.g. net.slice1.0.weight
+        tv_index = int(parts[2])
         if tv_index in tv_conv_idx and parts[3] in ("weight", "bias"):
             ci = tv_conv_idx.index(tv_index)
             conv_map.setdefault(ci, {})[parts[3]] = np.asarray(v)
+    if conv_map and len(conv_map) != len(tv_conv_idx):
+        raise ValueError(
+            f"LPIPS conversion mapped {len(conv_map)}/13 VGG convs — "
+            "unexpected state-dict layout"
+        )
     for ci, wb in conv_map.items():
         entry = {}
         if "weight" in wb:
