@@ -448,6 +448,79 @@ class TestLossConfigMatrix:
         leaves = jax.tree_util.tree_leaves((g0, d0))
         assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in leaves)
 
+    def test_spectral_normalize_params(self):
+        """Every kernel leaf has top singular value ~1 after the transform;
+        non-kernel leaves untouched (reference apply_spectral_norm wraps only
+        Linear/Conv, loss.py:59-64)."""
+        from video_tokenizer_tpu.models.loss import spectral_normalize_params
+
+        rng = np.random.RandomState(0)
+        params = {
+            "blk": {
+                "attn": {"kernel": jnp.asarray(
+                    10.0 * rng.randn(16, 48), jnp.float32)},
+                "bias": jnp.asarray(rng.randn(48), jnp.float32),
+            },
+            "embed": {"kernel": jnp.asarray(
+                5.0 * rng.randn(2, 4, 4, 3, 8), jnp.float32)},
+            "cls_token": jnp.asarray(rng.randn(1, 1, 16), jnp.float32),
+        }
+        out = spectral_normalize_params(params)
+        s_attn = np.linalg.svd(
+            np.asarray(out["blk"]["attn"]["kernel"]), compute_uv=False)[0]
+        s_emb = np.linalg.svd(
+            np.asarray(out["embed"]["kernel"]).reshape(-1, 8),
+            compute_uv=False)[0]
+        assert abs(s_attn - 1.0) < 1e-2, s_attn
+        assert abs(s_emb - 1.0) < 1e-2, s_emb
+        np.testing.assert_array_equal(
+            np.asarray(out["blk"]["bias"]), np.asarray(params["blk"]["bias"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["cls_token"]), np.asarray(params["cls_token"]))
+
+    def test_gan_loss_spectral_norm(self):
+        """spectral_norm: true (reference loss.py:275-276) trains: both loss
+        paths finite under jit and the d-loss gradient reaches the
+        discriminator kernels through the sigma division."""
+        from video_tokenizer_tpu.registry import models as model_reg
+        import video_tokenizer_tpu.models  # noqa: F401
+
+        loss_mod = model_reg.make({
+            "name": "lpips_disc_loss",
+            "args": {
+                "disc_start": 0, "disc_loss": "hinge", "disc_weight": 0.3,
+                "spectral_norm": True, "d_update_freq": 1,
+                "disc_tran_hidden_size": 64, "disc_tran_n_heads": 4,
+                "disc_tran_n_layers": 1, "disc_tran_temporal_patch_size": 4,
+                "disc_tran_patch_size": 8, "input_spatial_size": 32,
+                "frame_num": 8,
+            },
+        })
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 32, 32))
+        y = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 8, 32, 32))
+        variables = loss_mod.init(
+            {"params": jax.random.PRNGKey(2), "gan": jax.random.PRNGKey(3)},
+            x, y, method=loss_mod.initialize,
+        )
+
+        @jax.jit
+        def d_loss(v, x, y):
+            (out, _), _ = loss_mod.apply(
+                v, x, y, jnp.asarray(0, jnp.int32),
+                method=loss_mod.discriminator_loss, train=True,
+                mutable=["ema"], rngs={"gan": jax.random.PRNGKey(5)},
+            )
+            return out
+
+        d = d_loss(variables, x, y)
+        assert np.isfinite(float(d))
+        g = jax.grad(lambda v: d_loss(v, x, y))(variables)
+        disc_g = g["params"]["discriminator"]
+        total = sum(
+            float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(disc_g)
+        )
+        assert np.isfinite(total) and total > 0.0
+
 
 class TestARConfigMatrix:
     """AR ModelArgs knobs that cfgs can flip must all train + generate."""

@@ -111,7 +111,7 @@ class TorchLlamaMini(nn.Module):
     """Reference LARP_AR training-path semantics (larp_ar.py:334-395)."""
 
     def __init__(self, dim=32, n_layer=2, n_head=4, n_kv_head=2, vocab=16,
-                 n_classes=5, seq=8):
+                 n_classes=5, seq=8, class_dropout=0.1):
         super().__init__()
         self.dim, self.n_head, self.n_kv_head = dim, n_head, n_kv_head
         self.hd = dim // n_head
@@ -119,7 +119,11 @@ class TorchLlamaMini(nn.Module):
         hidden = ((hidden + 31) // 32) * 32  # multiple_of=32 for the test
         self.tok_embeddings = nn.Embedding(vocab, dim)
         self.cls_embedding = nn.Module()
-        self.cls_embedding.embedding_table = nn.Embedding(n_classes + 1, dim)
+        # reference sizes the table num_classes + int(dropout > 0)
+        # (larp_ar.py:246-257 / embed.py LabelEmbedder)
+        self.cls_embedding.embedding_table = nn.Embedding(
+            n_classes + int(class_dropout > 0), dim
+        )
         self.abs_pe = nn.Parameter(torch.randn(1, seq, dim) * 0.02)
         self.layers = nn.ModuleList()
         for _ in range(n_layer):
@@ -184,6 +188,39 @@ class TestARConversion:
         ))
         logits, _ = model.apply(
             {"params": params}, jnp.asarray(idx.numpy()), jnp.asarray(cond.numpy())
+        )
+        assert np.allclose(np.asarray(logits), ref, atol=5e-5)
+
+    def test_null_row_padding_for_dropout_zero_source(self):
+        """A reference model built with class_dropout_prob == 0 has a bare
+        num_classes-row class table (larp_ar.py:246-257); conversion with the
+        num_classes hint appends the zero null row our LabelEmbedder always
+        allocates, and the padded params drive our model."""
+        torch.manual_seed(1)
+        tm = TorchLlamaMini(class_dropout=0.0).eval()
+        sd = _sd(tm)
+        assert sd["cls_embedding.embedding_table.weight"].shape[0] == 5
+
+        params = convert_larp_ar(sd, num_classes=5)
+        table = params["cls_embedding"]["embedding_table"]["embedding"]
+        assert table.shape[0] == 6
+        np.testing.assert_array_equal(table[5], np.zeros_like(table[5]))
+
+        from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
+
+        model = LARP_AR(ModelArgs(
+            dim=32, n_layer=2, n_head=4, n_kv_head=2, vocab_size=16,
+            num_classes=5, max_seq_len=8, cls_token_num=1, multiple_of=32,
+            token_dropout_p=0.0, resid_dropout_p=0.0, ffn_dropout_p=0.0,
+            class_dropout_prob=0.0,
+        ))
+        idx = torch.randint(0, 16, (2, 7))
+        cond = torch.tensor([1, 3])
+        with torch.no_grad():
+            ref = tm(idx, cond).numpy()
+        logits, _ = model.apply(
+            {"params": params}, jnp.asarray(idx.numpy()),
+            jnp.asarray(cond.numpy()),
         )
         assert np.allclose(np.asarray(logits), ref, atol=5e-5)
 

@@ -156,8 +156,17 @@ def convert_larp_tokenizer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
-def convert_larp_ar(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    """Reference LARP_AR state dict -> our Flax params tree."""
+def convert_larp_ar(
+    sd: Dict[str, np.ndarray], num_classes: int | None = None
+) -> Dict[str, Any]:
+    """Reference LARP_AR state dict -> our Flax params tree.
+
+    `num_classes`: if given and the reference class-embedding table has
+    exactly that many rows (model built with class_dropout_prob == 0,
+    larp_ar.py:246-257 sizes it num_classes + int(dropout > 0)), a zero null
+    row is appended — our LabelEmbedder always allocates the null row so CFG
+    sampling / force-drop stay in range regardless of dropout_prob.
+    """
     n_layer = max(
         int(k.split(".")[1]) for k in sd if k.startswith("layers.")
     ) + 1
@@ -169,10 +178,13 @@ def convert_larp_ar(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     if "abs_pe" in sd:
         params["abs_pe"] = _t(sd["abs_pe"])
     if "cls_embedding.embedding_table.weight" in sd:
+        table = _t(sd["cls_embedding.embedding_table.weight"])
+        if num_classes is not None and table.shape[0] == num_classes:
+            table = np.concatenate(
+                [table, np.zeros((1, table.shape[1]), table.dtype)], axis=0
+            )
         params["cls_embedding"] = {
-            "embedding_table": {
-                "embedding": _t(sd["cls_embedding.embedding_table.weight"])
-            }
+            "embedding_table": {"embedding": table}
         }
     for i in range(n_layer):
         p = f"layers.{i}"
@@ -215,7 +227,10 @@ def main():
     if kind == "tokenizer":
         params = convert_larp_tokenizer(sd)
     elif kind == "ar":
-        params = convert_larp_ar(sd)
+        # optional 4th arg: num_classes, to pad the null class row when the
+        # source model was built with class_dropout_prob == 0
+        nc = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        params = convert_larp_ar(sd, num_classes=nc)
     else:
         raise ValueError(kind)
     np.savez(out_path, params=np.asarray({"params": params}, dtype=object))

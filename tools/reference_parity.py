@@ -281,7 +281,11 @@ def run_ours_ar(out: str, steps: int):
     t.make_model()
 
     init_sd = dict(np.load(os.path.join(out, "init_ar_sd.npz")))
-    converted = convert_larp_ar(init_sd)
+    # reference built with class_dropout_prob 0 -> its class table has no
+    # null row; pad it to our always-allocated-null-row layout
+    converted = convert_larp_ar(
+        init_sd, num_classes=AR_MODEL_ARGS["num_classes"]
+    )
     import jax.numpy as jnp
 
     t.state["params"] = jax.tree_util.tree_map(

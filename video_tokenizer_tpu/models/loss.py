@@ -100,6 +100,52 @@ def lecam_reg(real_pred, fake_pred, ema_real_pred, ema_fake_pred):
     )
 
 
+def _power_iteration_sigma(w2d: jax.Array, n_iter: int = 9) -> jax.Array:
+    """Top singular value of a 2-D matrix by power iteration.
+
+    Stateless re-expression of torch.nn.utils.spectral_norm: instead of a
+    persistent `u` buffer updated once per step, iterate from a fixed
+    deterministic start every call (the discriminator kernels are tiny, so a
+    few extra matvecs are free next to its forward). Gradient semantics match
+    torch: u/v are detached, sigma = uᵀWv stays differentiable so the grad
+    carries the -W(uvᵀ)/sigma² term that suppresses the top singular value.
+    """
+    v = jnp.full((w2d.shape[1],), 1.0 / jnp.sqrt(w2d.shape[1]), w2d.dtype)
+
+    def body(_, v):
+        u = w2d @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+        v = w2d.T @ u
+        return v / (jnp.linalg.norm(v) + 1e-12)
+
+    v = jax.lax.stop_gradient(jax.lax.fori_loop(0, n_iter, body, v))
+    u = w2d @ v
+    u = jax.lax.stop_gradient(u / (jnp.linalg.norm(u) + 1e-12))
+    return u @ w2d @ v
+
+
+def spectral_normalize_params(params):
+    """Divide every `kernel` leaf (Dense / conv patch-embed) by its top
+    singular value — the whole-module analogue of the reference's
+    `apply_spectral_norm` (loss.py:59-64), which wraps every Linear/Conv
+    child. Non-kernel leaves (biases, LN scales, cls_token, PE) pass through,
+    matching the reference's isinstance filter."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for k, w in flat.items():
+        if k[-1] == "kernel" and w.ndim >= 2:
+            w2d = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
+            sigma = _power_iteration_sigma(w2d)
+            out[k] = (w.astype(jnp.float32) / jnp.maximum(sigma, 1e-12)).astype(
+                w.dtype
+            )
+        else:
+            out[k] = w
+    return traverse_util.unflatten_dict(out)
+
+
 def measure_perplexity(predicted_indices, n_embed):
     """Codebook usage perplexity + cluster count (loss.py:103-110)."""
     onehots = jax.nn.one_hot(
@@ -194,24 +240,33 @@ class VQLPIPSWithDiscriminator(nn.Module):
     d_update_loss_threshold: float = -1.0e6
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
-    spectral_norm: bool = False  # accepted so a reference cfg fails LOUDLY
+    spectral_norm: bool = False
 
     def setup(self):
-        if self.spectral_norm:
-            # registry.make silently drops unknown kwargs, so without this
-            # field a reference cfg with spectral_norm: true would train an
-            # unconstrained discriminator with no warning (reference
-            # loss.py:275-276 wraps every disc layer in spectral_norm)
-            raise NotImplementedError(
-                "spectral_norm discriminator is not implemented; unset it "
-                "or use the LeCam/R1 regularizers"
-            )
         assert self.disc_loss in ("hinge", "ns", "ns_smooth")
         assert self.pixel_loss in ("l1", "l2")
         assert self.disc_type.lower() == "transformer", self.disc_type
         assert self.perceptual_loss == "lpips", self.perceptual_loss
         self.lpips = LPIPS(dtype=self.dtype, name="perceptual")
-        self.discriminator = TransformerDiscriminator(
+        disc_cls = TransformerDiscriminator
+        if self.spectral_norm:
+            # reference loss.py:275-276 wraps every disc Linear/Conv in
+            # torch spectral_norm; here the whole discriminator's kernels
+            # are sigma-normalized on the way in (stateless power iteration,
+            # see spectral_normalize_params)
+            # init=self.is_initializing(): let the inner module CREATE its
+            # params at init (the transform is shape-preserving, trans_out
+            # stays identity). init must be False at apply time: with any
+            # mutable collection open (e.g. the LeCam "ema"), init=True makes
+            # map_variables re-run the module as an initializer against the
+            # immutable params collection, which raises
+            # ScopeCollectionNotFound.
+            disc_cls = nn.map_variables(
+                TransformerDiscriminator, "params",
+                trans_in_fn=spectral_normalize_params,
+                init=self.is_initializing(),
+            )
+        self.discriminator = disc_cls(
             hidden_size=self.disc_tran_hidden_size,
             n_heads=self.disc_tran_n_heads,
             n_layers=self.disc_tran_n_layers,
