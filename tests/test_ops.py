@@ -66,6 +66,58 @@ class TestAttention:
         out = attention(q, q, q)  # auto-selects XLA on CPU
         assert np.allclose(out, xla_attention(q, q, q))
 
+    def test_gqa_matches_repeated_kv(self):
+        """K/V at native kv_heads width == explicit repeat to q_heads, for
+        values and input gradients (XLA path on CPU; the Pallas h//rep
+        index-map variant is covered by tools/check_attention_tpu.py)."""
+        B, S, H, Hkv, D = 2, 12, 6, 2, 8
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (B, S, H, D))
+        k = jax.random.normal(ks[1], (B, S, Hkv, D))
+        v = jax.random.normal(ks[2], (B, S, Hkv, D))
+        rep = H // Hkv
+
+        def f_gqa(q, k, v):
+            return attention(q, k, v, causal=True).sum()
+
+        def f_rep(q, k, v):
+            return attention(
+                q, jnp.repeat(k, rep, axis=2), jnp.repeat(v, rep, axis=2),
+                causal=True,
+            ).sum()
+
+        out = attention(q, k, v, causal=True)
+        ref = attention(
+            q, jnp.repeat(k, rep, axis=2), jnp.repeat(v, rep, axis=2),
+            causal=True,
+        )
+        assert out.shape == (B, S, H, D)
+        assert np.allclose(out, ref, atol=1e-5)
+        g = jax.grad(f_gqa, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_rep, argnums=(0, 1, 2))(q, k, v)
+        assert g[1].shape == (B, S, Hkv, D)
+        for a, b in zip(g, gr):
+            assert np.allclose(a, b, atol=1e-5)
+
+    def test_pick_block_divides_rounded_length(self):
+        """Kernel block sizes must divide round_up(S, base) so padding never
+        exceeds base-1 rows (TPU parity of the picked blocks is covered by
+        tools/check_attention_tpu.py)."""
+        from video_tokenizer_tpu.ops.attention import _pick_block, _round_up
+
+        for S in (48, 128, 1280, 2048, 2100, 3200, 8192, 128 * 17):
+            for req in (128, 512, 1024, 3072):
+                b = _pick_block(S, req)
+                assert b % 128 == 0 and 128 <= b <= max(req, 128)
+                assert _round_up(S, 128) % b == 0, (S, req, b)
+        # the motivating case: Sk=3200 with requested 3072 must not pad 2x
+        assert _pick_block(3200, 3072) == 640
+        # flagship S=2048 keeps its full-length single block
+        assert _pick_block(2048, 3072) == 2048
+        # base=8 variant (VQ M grid)
+        assert _pick_block(1000, 512, base=8) % 8 == 0
+        assert 1000 % _pick_block(1000, 512, base=8) == 0
+
 
 class TestDecodeAttention:
     """decode_attention == the last row of full causal attention over the

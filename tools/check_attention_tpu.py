@@ -54,35 +54,40 @@ def main():
     key = jax.random.PRNGKey(0)
     for causal in (False, True):
         for with_segs in (False, True):
-            B, S, H, D = 2, 640, 4, 64
-            kq, kk, kv = jax.random.split(key, 3)
-            q = jax.random.normal(kq, (B, S, H, D), jnp.bfloat16)
-            k = jax.random.normal(kk, (B, S, H, D), jnp.bfloat16)
-            v = jax.random.normal(kv, (B, S, H, D), jnp.bfloat16)
-            segs = None
-            if with_segs:
-                segs = jnp.where(
-                    jnp.arange(S)[None, :] < S // 2, 0, 1
-                ).astype(jnp.int32).repeat(B, 0).reshape(B, S)
+            # kv_rep > 1 exercises the GQA h//rep K/V index maps + the
+            # group-summed dk/dv; S=640 also exercises _pick_block's
+            # divisor rule (640 = 5*128 is not a multiple of block 256)
+            for kv_rep in (1, 2):
+                B, S, H, D = 2, 640, 4, 64
+                Hkv = H // kv_rep
+                kq, kk, kv = jax.random.split(key, 3)
+                q = jax.random.normal(kq, (B, S, H, D), jnp.bfloat16)
+                k = jax.random.normal(kk, (B, S, Hkv, D), jnp.bfloat16)
+                v = jax.random.normal(kv, (B, S, Hkv, D), jnp.bfloat16)
+                segs = None
+                if with_segs:
+                    segs = jnp.where(
+                        jnp.arange(S)[None, :] < S // 2, 0, 1
+                    ).astype(jnp.int32).repeat(B, 0).reshape(B, S)
 
-            f_pl = lambda q, k, v: attention(
-                q, k, v, causal=causal, segment_ids=segs,
-                block_q=256, block_k=256, use_pallas=True,
-            ).astype(jnp.float32).sum()
-            f_xla = lambda q, k, v: xla_attention(
-                q, k, v, causal=causal, segment_ids=segs
-            ).astype(jnp.float32).sum()
+                f_pl = lambda q, k, v: attention(
+                    q, k, v, causal=causal, segment_ids=segs,
+                    block_q=256, block_k=256, use_pallas=True,
+                ).astype(jnp.float32).sum()
+                f_xla = lambda q, k, v: xla_attention(
+                    q, k, v, causal=causal, segment_ids=segs
+                ).astype(jnp.float32).sum()
 
-            tag = f"causal={causal} segs={with_segs}"
-            out_pl = attention(q, k, v, causal=causal, segment_ids=segs,
-                               block_q=256, block_k=256, use_pallas=True)
-            out_x = xla_attention(q, k, v, causal=causal, segment_ids=segs)
-            ok &= check(f"fwd {tag}", out_pl, out_x, 2e-2)
+                tag = f"causal={causal} segs={with_segs} rep={kv_rep}"
+                out_pl = attention(q, k, v, causal=causal, segment_ids=segs,
+                                   block_q=256, block_k=256, use_pallas=True)
+                out_x = xla_attention(q, k, v, causal=causal, segment_ids=segs)
+                ok &= check(f"fwd {tag}", out_pl, out_x, 2e-2)
 
-            g_pl = jax.jit(jax.grad(f_pl, argnums=(0, 1, 2)))(q, k, v)
-            g_x = jax.jit(jax.grad(f_xla, argnums=(0, 1, 2)))(q, k, v)
-            for nm, a, b in zip("dq dk dv".split(), g_pl, g_x):
-                ok &= check(f"{nm}  {tag}", a, b, 5e-2)
+                g_pl = jax.jit(jax.grad(f_pl, argnums=(0, 1, 2)))(q, k, v)
+                g_x = jax.jit(jax.grad(f_xla, argnums=(0, 1, 2)))(q, k, v)
+                for nm, a, b in zip("dq dk dv".split(), g_pl, g_x):
+                    ok &= check(f"{nm}  {tag}", a, b, 5e-2)
 
     # causal_offset / LSE merge (the ring-attention contract)
     B, S, H, D = 2, 512, 4, 64

@@ -203,10 +203,8 @@ class Attention(nn.Module):
         """Teacher-forcing path: full causal self-attention."""
         B, S, _ = x.shape
         q, k, v = self._split_qkv(x)
-        if self.n_kv_head != self.n_head:
-            rep = self.n_head // self.n_kv_head
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
+        # GQA K/V stay at n_kv_head width — ops/attention streams each KV
+        # head once per query group instead of materializing the repeat
         out = attention(q, k, v, causal=True)
         out = out.reshape(B, S, -1)
         out = self.wo(out)
@@ -250,10 +248,6 @@ class Attention(nn.Module):
         lc = self._store(
             lc, k.reshape(B, S, -1), v.reshape(B, S, -1), 0
         )
-        if self.n_kv_head != self.n_head:
-            rep = self.n_head // self.n_kv_head
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
         if cond_mask is not None:
             # masked positions get their own segment so a masked QUERY still
             # has valid keys (the other masked causal positions, incl.

@@ -98,12 +98,9 @@ class PackedGQAAttention(nn.Module):
         k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-        # TODO(perf, needs TPU to validate): materializing K/V to q_heads
-        # negates GQA's bandwidth savings; a kernel-level h -> h//rep head
-        # index_map in ops/attention would stream 1/rep the K/V bytes
-        rep = self.q_heads // self.kv_heads
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+        # K/V stay at kv_heads width: ops/attention streams each KV head
+        # once per query group (h -> h//rep index map), so GQA's bandwidth
+        # saving is realized instead of repeating K/V to q_heads here.
         out = attention(
             q, k, v, segment_ids=segment_ids, use_pallas=self.use_pallas
         ).reshape(B, L, C)

@@ -44,6 +44,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block(S: int, requested: int, base: int = 128) -> int:
+    """Largest multiple-of-`base` divisor of round_up(S, base) that is
+    <= requested (never below `base`).
+
+    Using a divisor keeps the kernel's padded length at round_up(S, base),
+    so at most base-1 pad rows are ever streamed/computed. Rounding S up to
+    a full `requested` block instead can nearly double K/V HBM+VMEM traffic
+    when S slightly exceeds a block boundary (e.g. Sk=3200 with block 3072
+    used to pad to 6144; now block=640, padded length 3200)."""
+    requested = max(requested, base)
+    n = _round_up(S, base) // base
+    best = 1
+    for m in range(1, n + 1):
+        if n % m == 0 and m * base <= requested:
+            best = m
+    return best * base
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -122,13 +140,17 @@ def _fwd_kernel(
 
 def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k,
                has_segments=True, causal_offset=None):
-    """q: [B,H,Sq,D], k/v: [B,H,Sk,D], segs: [B,1,S]. Returns out, lse[B,H,1,Sq_p]."""
+    """q: [B,H,Sq,D], k/v: [B,Hkv,Sk,D] (H % Hkv == 0; GQA streams each KV
+    head once per group via the h -> h//rep index map — the expanded
+    [B,H,Sk,D] K/V never exists in HBM or VMEM), segs: [B,1,S].
+    Returns out, lse[B,H,1,Sq_p]."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    # TODO(perf, needs TPU to validate): rounding Sk up to a full block_k
-    # multiple can nearly double K/V HBM+VMEM traffic when Sk slightly
-    # exceeds a block boundary (e.g. Sk=3200 -> Sk_p=6144); picking block_k
-    # as a divisor of round_up(Sk, 128) would make the padding <=127 rows.
+    assert H % k.shape[1] == 0, (H, k.shape[1])
+    rep = H // k.shape[1]
+    # block sizes arrive from _pick_block (divisors of round_up(S, 128)), so
+    # the pads below are <=127 rows; explicit non-divisor blocks still work,
+    # they just pad to a full block multiple.
     Sq_p = _round_up(Sq, block_q)
     Sk_p = _round_up(Sk, block_k)
     # causal alignment: query i attends to keys <= i + offset
@@ -153,8 +175,8 @@ def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k,
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h // rep, 0, 0)),
+            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h // rep, 0, 0)),
             pl.BlockSpec((None, 1, block_q), lambda b, h, i: (b, 0, i)),
             pl.BlockSpec((None, 1, Sk_p), lambda b, h, i: (b, 0, 0)),
         ],
@@ -315,6 +337,8 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
     q, k, v, q_seg, k_seg, out, lse = res
     do = g
     B, H, Sq, D = q.shape
+    Hkv = k.shape[1]
+    rep = H // Hkv
     Sk = k.shape[2]
     q_offset = Sk - Sq
 
@@ -342,8 +366,8 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
         grid=(B, H, Sq_p // block_q),
         in_specs=[
             pl.BlockSpec((None, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h // rep, 0, 0)),
+            pl.BlockSpec((None, None, Sk_p, D), lambda b, h, i: (b, h // rep, 0, 0)),
             pl.BlockSpec((None, 1, block_q), lambda b, h, i: (b, 0, i)),
             pl.BlockSpec((None, 1, Sk_p), lambda b, h, i: (b, 0, 0)),
             pl.BlockSpec((None, None, block_q, D), lambda b, h, i: (b, h, i, 0)),
@@ -369,8 +393,8 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
         grid=(B, H, Sk_p // block_k),
         in_specs=[
             pl.BlockSpec((None, None, Sq_p, D), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, block_k, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, block_k, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_k, D), lambda b, h, i: (b, h // rep, i, 0)),
+            pl.BlockSpec((None, None, block_k, D), lambda b, h, i: (b, h // rep, i, 0)),
             pl.BlockSpec((None, 1, Sq_p), lambda b, h, i: (b, 0, 0)),
             pl.BlockSpec((None, 1, block_k), lambda b, h, i: (b, 0, i)),
             pl.BlockSpec((None, None, Sq_p, D), lambda b, h, i: (b, h, 0, 0)),
@@ -390,7 +414,16 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
         ),
     )(qp, kp, vp, qsegp, ksegp, dop, lsep, deltap)
 
-    return dq[:, :, :Sq], dk[:, :, :Sk], dv[:, :, :Sk], None, None
+    dk, dv = dk[:, :, :Sk], dv[:, :, :Sk]
+    if rep > 1:
+        # dk/dv leave the kernel at q-head resolution (each q head's partial
+        # against its group's KV head); the group sum is the VJP of GQA's
+        # implicit head broadcast — exactly what jnp.repeat's transpose does,
+        # minus ever materializing the [B, H, Sk, D] K/V in HBM.
+        dk = dk.astype(jnp.float32).reshape(B, Hkv, rep, Sk, D).sum(2)
+        dv = dv.astype(jnp.float32).reshape(B, Hkv, rep, Sk, D).sum(2)
+        dk, dv = dk.astype(k.dtype), dv.astype(v.dtype)
+    return dq[:, :, :Sq], dk, dv, None, None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
@@ -469,8 +502,8 @@ def attention_with_lse(
             causal_offset=causal_offset,
         )
         return out, lse
-    block_q = min(block_q, _round_up(Sq, 128))
-    block_k = min(block_k, _round_up(Sk, 128))
+    block_q = _pick_block(Sq, block_q)
+    block_k = _pick_block(Sk, block_k)
     if segment_ids is None:
         q_seg = jnp.zeros((B, 1, Sq), dtype=jnp.int32)
         k_seg = jnp.zeros((B, 1, Sk), dtype=jnp.int32)
@@ -546,6 +579,9 @@ _pallas_attention_lse.defvjp(_pallas_lse_fwd, _pallas_lse_bwd)
 def _xla_attention_lse(q, k, v, causal, segment_ids, kv_segment_ids,
                        sm_scale, causal_offset=None):
     B, Sq, H, D = q.shape
+    if k.shape[2] != H:  # GQA: broadcast each KV head over its query group
+        k = jnp.repeat(k, H // k.shape[2], axis=2)
+        v = jnp.repeat(v, H // v.shape[2], axis=2)
     Sk = k.shape[1]
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
@@ -579,7 +615,11 @@ def attention(
     bwd_block_k: int = 1024,
     use_pallas: Optional[bool] = None,
 ):
-    """Multi-head attention. q: [B,Sq,H,D]; k,v: [B,Sk,H,D]. Returns [B,Sq,H,D].
+    """Multi-head attention. q: [B,Sq,H,D]; k,v: [B,Sk,Hkv,D] with
+    H % Hkv == 0 (Hkv < H = grouped-query attention: pass K/V at their
+    native head count — the kernel streams each KV head once per group, so
+    GQA's bandwidth saving is real; jnp.repeat to H heads beforehand would
+    forfeit it). Returns [B,Sq,H,D].
 
     `use_pallas=None` auto-selects: Pallas on TPU, XLA elsewhere.
     """
@@ -592,12 +632,13 @@ def attention(
         )
 
     B, Sq, H, D = q.shape
+    assert H % k.shape[2] == 0, (H, k.shape[2])
     Sk = k.shape[1]
     scale = sm_scale if sm_scale is not None else D ** -0.5
-    block_q = min(block_q, _round_up(Sq, 128))
-    block_k = min(block_k, _round_up(Sk, 128))
-    bwd_block_q = min(bwd_block_q, _round_up(Sq, 128))
-    bwd_block_k = min(bwd_block_k, _round_up(Sk, 128))
+    block_q = _pick_block(Sq, block_q)
+    block_k = _pick_block(Sk, block_k)
+    bwd_block_q = _pick_block(Sq, bwd_block_q)
+    bwd_block_k = _pick_block(Sk, bwd_block_k)
 
     if segment_ids is None:
         q_seg = jnp.zeros((B, 1, Sq), dtype=jnp.int32)

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attention import DEFAULT_MASK_VALUE as NEG_INF  # shared sentinel
-from .attention import _round_up
+from .attention import _pick_block, _round_up
 
 
 def _vq_kernel(
@@ -98,11 +98,12 @@ def vq_lookup_pallas(
     """argmax_k (z @ emb.T + score_bias[k]) (+ Gumbel if stochastic). z: [M, d]."""
     M, d = z.shape
     K = emb.shape[0]
-    block_m = min(block_m, _round_up(M, 8))
-    block_k = min(block_k, _round_up(K, 128))
-    # TODO(perf, needs TPU to validate): same pad-to-full-block blowup as
-    # ops/attention.py — a block_k dividing round_up(K, 128) would avoid
-    # scanning a near-empty final codebook tile (e.g. K=2100 -> K_p=4096).
+    # divisor-of-rounded-length blocks (see attention._pick_block): the
+    # codebook scan covers round_up(K, 128) rows instead of a full final
+    # block (K=2100 used to pad to 4096; now K_p=2176), and the M grid
+    # wastes at most 7 pad rows.
+    block_m = _pick_block(M, block_m, base=8)
+    block_k = _pick_block(K, block_k)
     M_p = _round_up(M, block_m)
     K_p = _round_up(K, block_k)
 
