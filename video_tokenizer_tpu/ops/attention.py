@@ -39,6 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Interpret-mode switch for every Pallas kernel in ops/ (attention, decode
+# attention, VQ): tests/CI run on CPU where the kernels would otherwise be
+# dead code — `_INTERPRET = True` (tests/conftest.py fixture or manual)
+# emulates them so kernel-vs-XLA parity is checkable without TPU hardware.
+# Production TPU runs leave it False (compiled Mosaic).
+_INTERPRET = False
+
+
+def _pallas_call(*args, **kwargs):
+    """pl.pallas_call with the module-level interpret switch applied."""
+    return pl.pallas_call(*args, interpret=_INTERPRET, **kwargs)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -170,7 +182,7 @@ def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k,
         block_k=block_k, kv_len=Sk, q_offset=q_offset,
         has_segments=has_segments, kv_padded=(Sk_p != Sk),
     )
-    out, lse = pl.pallas_call(
+    out, lse = _pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -361,7 +373,7 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
         block_k=block_k, kv_len=Sk, q_offset=q_offset,
         has_segments=has_segments, kv_padded=(Sk_p != Sk),
     )
-    dq = pl.pallas_call(
+    dq = _pallas_call(
         dq_kernel,
         grid=(B, H, Sq_p // block_q),
         in_specs=[
@@ -388,7 +400,7 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
         block_q=block_q, q_len=Sq, q_offset=q_offset,
         has_segments=has_segments, q_padded=(Sq_p != Sq),
     )
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         dkv_kernel,
         grid=(B, H, Sk_p // block_k),
         in_specs=[

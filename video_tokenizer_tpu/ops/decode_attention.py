@@ -58,6 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attention import DEFAULT_MASK_VALUE  # single shared mask sentinel
+from .attention import _pallas_call  # interpret-mode switch lives there
 
 
 def _quantize_rows(rows: jax.Array):
@@ -85,30 +86,43 @@ def _decode_kernel(
     #         VPU/selector work per block. bc = this program's batch chunk.
     k_hbm,  # [B, S, KV] ANY (stays in HBM; this program DMAs its bc rows)
     v_hbm,  # [B, S, KV] ANY
-    bias_hbm,  # [S, 128] fp32 ANY (0 valid / -inf-ish invalid; batch in
-    #            the first B lanes, lane dim padded to the 128 tile)
-    #            TODO(perf): when key_valid is None (the dominant class-
-    #            conditional serving path) this operand is an all-zeros
-    #            plane whose DMA + lane-pick costs ~0.5-1% of cache
-    #            traffic — a static no-bias kernel variant would skip it;
-    #            needs TPU hardware to validate (no interpret-mode tests)
-    *rest,
+    *rest,  # [bias_hbm] if has_bias, [ks_hbm, vs_hbm] if quantized, then
+    #         o_ref and the scratch buffers/semaphores in matching order.
+    #         bias_hbm: [S, 128] fp32 ANY (0 valid / -inf-ish invalid; batch
+    #         in the first B lanes, lane dim padded to the 128 tile). When
+    #         key_valid is None (the dominant class-conditional serving
+    #         path) the operand is omitted entirely — no all-zeros plane
+    #         DMA'd, positional masking alone suffices.
     sm_scale: float,
     block_s: int,
     head_dim: int,
     rep: int,
     bc: int,
     quantized: bool,
+    has_bias: bool,
 ):
     # int8 caches add two [S, 128] fp32 scale-plane operands (same layout as
     # the bias plane: S in the sublane dim, batch in the first B lanes) plus
     # their double-buffered scratch/semaphores.
+    rest = list(rest)
+    bias_hbm = rest.pop(0) if has_bias else None
     if quantized:
-        (ks_hbm, vs_hbm, o_ref, k_buf, v_buf, b_buf, ks_buf, vs_buf,
-         k_sem, v_sem, b_sem, ks_sem, vs_sem) = rest
+        ks_hbm, vs_hbm = rest.pop(0), rest.pop(0)
     else:
-        o_ref, k_buf, v_buf, b_buf, k_sem, v_sem, b_sem = rest
-        ks_hbm = vs_hbm = ks_buf = vs_buf = ks_sem = vs_sem = None
+        ks_hbm = vs_hbm = None
+    o_ref, k_buf, v_buf = rest.pop(0), rest.pop(0), rest.pop(0)
+    b_buf = rest.pop(0) if has_bias else None
+    if quantized:
+        ks_buf, vs_buf = rest.pop(0), rest.pop(0)
+    else:
+        ks_buf = vs_buf = None
+    k_sem, v_sem = rest.pop(0), rest.pop(0)
+    b_sem = rest.pop(0) if has_bias else None
+    if quantized:
+        ks_sem, vs_sem = rest.pop(0), rest.pop(0)
+    else:
+        ks_sem = vs_sem = None
+    assert not rest, len(rest)
     pos = pos_ref[0]
     nb = pos // block_s + 1  # live blocks (dynamic)
     off = pl.program_id(0) * bc  # this program's batch rows [off, off + bc)
@@ -140,10 +154,11 @@ def _decode_kernel(
             pltpu.make_async_copy(
                 v_hbm.at[b_slice, s_slice], v_buf.at[slot], v_sem.at[slot]
             ),
-            pltpu.make_async_copy(
-                bias_hbm.at[s_slice], b_buf.at[slot], b_sem.at[slot]
-            ),
         ]
+        if has_bias:
+            copies.append(pltpu.make_async_copy(
+                bias_hbm.at[s_slice], b_buf.at[slot], b_sem.at[slot]
+            ))
         if quantized:
             copies += [
                 pltpu.make_async_copy(
@@ -196,8 +211,9 @@ def _decode_kernel(
         k_pos = j * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, block_s, 1), 2
         )
-        bias = pick_lanes(b_buf[slot])[None, :, :, None]
-        s = jnp.where(k_pos <= pos, s + bias, DEFAULT_MASK_VALUE)
+        if has_bias:
+            s = s + pick_lanes(b_buf[slot])[None, :, :, None]
+        s = jnp.where(k_pos <= pos, s, DEFAULT_MASK_VALUE)
 
         # online softmax over the block_s dim
         m_cur = jnp.max(s, axis=2, keepdims=True)  # [rep, bc, 1, H]
@@ -247,16 +263,17 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     # key validity as an additive bias laid out [S, 128] (batch in the first
     # B lanes): S in the SUBLANE dim so per-block DMA slices are
     # tile-aligned, and the lane dim padded to the 128 tile (lane slices of
-    # tiled HBM cannot be sub-128)
-    if key_valid is None:
-        bias = jnp.zeros((S, 128), jnp.float32)
-    else:
+    # tiled HBM cannot be sub-128). When key_valid is None the operand is
+    # omitted: positional masking alone is correct and the all-zeros plane's
+    # DMA stream disappears from the bandwidth-bound loop.
+    has_bias = key_valid is not None
+    if has_bias:
         bias = jnp.pad(
             jnp.where(key_valid, 0.0, DEFAULT_MASK_VALUE).T,
             ((0, 0), (0, 128 - B)),
         )
 
-    n_hbm = 5 if quantized else 3
+    n_hbm = 2 + int(has_bias) + (2 if quantized else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // bc,),
@@ -266,8 +283,8 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
         scratch_shapes=[
             pltpu.VMEM((2, bc, block_s, KV), k_cache.dtype),
             pltpu.VMEM((2, bc, block_s, KV), v_cache.dtype),
-            pltpu.VMEM((2, block_s, 128), jnp.float32),
         ]
+        + ([pltpu.VMEM((2, block_s, 128), jnp.float32)] if has_bias else [])
         + ([pltpu.VMEM((2, block_s, 128), jnp.float32)] * 2 if quantized
            else [])
         + [pltpu.SemaphoreType.DMA((2,))] * (n_hbm),
@@ -275,11 +292,14 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     kernel = functools.partial(
         _decode_kernel, sm_scale=sm_scale, block_s=block_s,
         head_dim=head_dim, rep=rep, bc=bc, quantized=quantized,
+        has_bias=has_bias,
     )
-    operands = [pos, q_in, k_cache, v_cache, bias]
+    operands = [pos, q_in, k_cache, v_cache]
+    if has_bias:
+        operands.append(bias)
     if quantized:
         operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
-    out = pl.pallas_call(
+    out = _pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rep, B, KV), q.dtype),

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attention import DEFAULT_MASK_VALUE as NEG_INF  # shared sentinel
-from .attention import _pick_block, _round_up
+from .attention import _pallas_call, _pick_block, _round_up
 
 
 def _vq_kernel(
@@ -131,7 +131,7 @@ def vq_lookup_pallas(
         ],
         out_specs=pl.BlockSpec((block_m, 128), lambda i, *_: (i, 0)),
     )
-    idx = pl.pallas_call(
+    idx = _pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M_p, 128), jnp.int32),
