@@ -165,6 +165,46 @@ def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
     return batch_size * new_tokens / dt
 
 
+def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
+                      gamma: int = 4, int8_kv: bool = False):
+    """Speculative-decoding serving throughput (sample.py --draft_model):
+    632M llama-abs-LP target, ~60M draft (8 layers, d=768), gamma proposals
+    per ONE target chunk verify. Both models keep their ZERO-INIT output
+    heads, so target and draft distributions are both exactly uniform and
+    the acceptance rate is ~1.0 — i.e. this measures the mechanical ceiling
+    of the draft-scan + chunk-verify machinery at the real compute costs of
+    both models (a trained draft lands below the ceiling in proportion to
+    its real acceptance rate, which bench weights cannot have). Returns
+    (tokens/s, acceptance_rate)."""
+    from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
+    from video_tokenizer_tpu.generation import speculative_generate
+
+    common = dict(vocab_size=8192, num_classes=101, max_seq_len=1024,
+                  token_dropout_p=0.0, resid_dropout_p=0.0, ffn_dropout_p=0.0)
+    target = LARP_AR(ModelArgs(n_layer=30, n_head=20, dim=1280, **common))
+    draft = LARP_AR(ModelArgs(n_layer=8, n_head=12, dim=768, **common))
+    cond = jnp.zeros((batch_size,), jnp.int32)
+    idx = jnp.zeros((batch_size, 8), jnp.int32)
+
+    def init(m):
+        v = m.init({"params": jax.random.PRNGKey(0)}, idx, cond)
+        return jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), v)
+
+    tv, dv = init(target), init(draft)
+    cache_dtype = jnp.int8 if int8_kv else None
+    kw = dict(gamma=gamma, cfg_scale=1.5, top_k=100, cache_dtype=cache_dtype,
+              draft_cache_dtype=cache_dtype, return_stats=True)
+    seq, stats = speculative_generate(target, tv, draft, dv, cond, new_tokens,
+                                      jax.random.PRNGKey(1), **kw)
+    int(seq.sum())  # force completion
+    t0 = time.perf_counter()
+    seq, stats = speculative_generate(target, tv, draft, dv, cond, new_tokens,
+                                      jax.random.PRNGKey(2), **kw)
+    int(seq.sum())
+    dt = time.perf_counter() - t0
+    return batch_size * new_tokens / dt, float(stats["acceptance_rate"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true",
@@ -234,6 +274,14 @@ def main():
             )
         except Exception as e:
             extras["ar_b32_error"] = str(e)
+        try:
+            # speculative ceiling: ~60M draft + ONE chunk verify per gamma=4
+            # proposals; acceptance ~1.0 by construction (uniform heads)
+            tok_spec, acc = bench_speculative(int8_kv=True)
+            extras["ar_tokens_per_s_spec_int8_kv"] = round(tok_spec, 1)
+            extras["spec_acceptance"] = round(acc, 3)
+        except Exception as e:
+            extras["ar_spec_error"] = str(e)
         try:
             # GQA zoo geometry (n_kv_head = n_head/4): the flash-decode
             # kernel's grouped-KV path, which also cuts cache traffic 4x

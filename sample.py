@@ -32,7 +32,7 @@ from filelock import FileLock
 
 import video_tokenizer_tpu.models  # noqa: F401
 import video_tokenizer_tpu.data  # noqa: F401
-from video_tokenizer_tpu.generation import generate
+from video_tokenizer_tpu.generation import generate, speculative_generate
 from video_tokenizer_tpu.metrics.fvd import FeatureStats, FVDCalculator
 from video_tokenizer_tpu.registry import datasets
 from video_tokenizer_tpu.utils.common import video_to_float
@@ -55,7 +55,8 @@ def write_video_mp4(video_chw: np.ndarray, path: str, fps: int = 25):
     vw.release()
 
 
-def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
+def sample_videos(args, ar_model, ar_params, tokenizer, tok_params,
+                  draft=None):
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     video_dir = out_dir / "videos"
@@ -117,13 +118,27 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
         reals = video_to_float(np.stack([it["gt"] for it in items]))
 
         key, sub = jax.random.split(key)
-        seq = generate(
-            ar_model, {"params": ar_params}, labels,
-            ar_model.max_seq_length, sub,
-            cfg_scale=args.cfg_scale, cfg_interval=args.cfg_interval,
-            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-            cache_dtype=jnp.int8 if args.kv_dtype == "int8" else None,
-        )
+        kv_dtype = jnp.int8 if args.kv_dtype == "int8" else None
+        if draft is not None:
+            seq, spec_stats = speculative_generate(
+                ar_model, {"params": ar_params}, draft[0],
+                {"params": draft[1]}, labels, ar_model.max_seq_length, sub,
+                gamma=args.gamma, cfg_scale=args.cfg_scale,
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p, cache_dtype=kv_dtype,
+                draft_cache_dtype=kv_dtype, return_stats=True,
+            )
+            print(f"  speculative acceptance rate: "
+                  f"{float(spec_stats['acceptance_rate']):.3f} "
+                  f"({int(spec_stats['iterations'])} verify iterations)")
+        else:
+            seq = generate(
+                ar_model, {"params": ar_params}, labels,
+                ar_model.max_seq_length, sub,
+                cfg_scale=args.cfg_scale, cfg_interval=args.cfg_interval,
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p, cache_dtype=kv_dtype,
+            )
         nlls.append(float(nll_fn({"params": ar_params}, labels, seq)))
         videos = np.asarray(decode_fn({"params": tok_params}, seq))
 
@@ -155,7 +170,8 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params):
     return gen_stats, real_stats, out_dir
 
 
-def predict_frames(args, ar_model, ar_params, tokenizer, tok_params):
+def predict_frames(args, ar_model, ar_params, tokenizer, tok_params,
+                   draft=None):
     """Frame-prediction sampling (reference sample.py:227-386): encode the
     first `num_cond_frames` frames (repeated to frame_num) + sep token as the
     prompt, generate the full-clip codes, decode, optionally resize."""
@@ -230,13 +246,27 @@ def predict_frames(args, ar_model, ar_params, tokenizer, tok_params):
         cond = jnp.concatenate([c, sep], axis=1)
 
         key, sub = jax.random.split(key)
-        seq = generate(
-            ar_model, {"params": ar_params}, cond,
-            ar_model.max_seq_length, sub,
-            cfg_scale=1.0, temperature=args.temperature,
-            top_k=args.top_k, top_p=args.top_p,
-            cache_dtype=jnp.int8 if args.kv_dtype == "int8" else None,
-        )
+        kv_dtype = jnp.int8 if args.kv_dtype == "int8" else None
+        if draft is not None:
+            seq, spec_stats = speculative_generate(
+                ar_model, {"params": ar_params}, draft[0],
+                {"params": draft[1]}, cond, ar_model.max_seq_length, sub,
+                gamma=args.gamma, cfg_scale=1.0,
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p, cache_dtype=kv_dtype,
+                draft_cache_dtype=kv_dtype, return_stats=True,
+            )
+            print(f"  speculative acceptance rate: "
+                  f"{float(spec_stats['acceptance_rate']):.3f} "
+                  f"({int(spec_stats['iterations'])} verify iterations)")
+        else:
+            seq = generate(
+                ar_model, {"params": ar_params}, cond,
+                ar_model.max_seq_length, sub,
+                cfg_scale=1.0, temperature=args.temperature,
+                top_k=args.top_k, top_p=args.top_p,
+                cache_dtype=kv_dtype,
+            )
         videos = np.asarray(
             resize_video(decode_fn({"params": tok_params}, seq), args.fp_resolution)
         )
@@ -352,6 +382,19 @@ def main():
                          "in the matmul) for ~1.3x more tokens/s at a small "
                          "accuracy cost; logits/softmax/NLL math stays fp32 "
                          "either way.")
+    ap.add_argument("--draft_model", default=None,
+                    help="optional draft AR checkpoint dir for speculative "
+                         "decoding: the draft proposes --gamma tokens per "
+                         "iteration and ONE target-model chunk forward "
+                         "verifies them (exact target sampling "
+                         "distribution; generation/speculative.py). A "
+                         "smaller zoo size (e.g. llama-abs-B drafting for "
+                         "llama-abs-3B) multiplies decode throughput by "
+                         "roughly the mean accepted length. Incompatible "
+                         "with --cfg_interval >= 0.")
+    ap.add_argument("--draft_version", default="sd")
+    ap.add_argument("--gamma", type=int, default=4,
+                    help="draft tokens proposed per verification chunk")
     ap.add_argument("--kv_dtype", default="auto", choices=["auto", "int8"],
                     help="KV-cache dtype for the decode loop. auto follows "
                          "the param dtype (bf16/fp32); int8 quantizes every "
@@ -374,6 +417,39 @@ def main():
         from video_tokenizer_tpu.models.larp_ar import LARP_AR, quantize_params
         ar_model = LARP_AR(_dc.replace(ar_model.config, quantized=True))
         ar_params = quantize_params(ar_params)
+    draft = None
+    if args.draft_model is not None:
+        if args.cfg_interval >= 0:
+            raise SystemExit(
+                "--draft_model is incompatible with --cfg_interval >= 0: "
+                "speculative rows advance unevenly, so a shared CFG cutoff "
+                "index does not exist; drop one of the two flags."
+            )
+        draft_model, draft_params = load_model_pretrained(
+            args.draft_model, args.draft_version
+        )
+        if args.dtype in ("bfloat16", "int8"):
+            draft_params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                draft_params,
+            )
+        if args.dtype == "int8":
+            import dataclasses as _dc
+            from video_tokenizer_tpu.models.larp_ar import (
+                LARP_AR, quantize_params,
+            )
+            draft_model = LARP_AR(
+                _dc.replace(draft_model.config, quantized=True)
+            )
+            draft_params = quantize_params(draft_params)
+        if bool(draft_model.frame_prediction) != bool(ar_model.frame_prediction):
+            raise SystemExit(
+                "--draft_model frame_prediction="
+                f"{bool(draft_model.frame_prediction)} does not match the "
+                f"target's {bool(ar_model.frame_prediction)}"
+            )
+        draft = (draft_model, draft_params)
     tokenizer, tok_params = load_model_pretrained(
         args.tokenizer, args.tokenizer_version
     )
@@ -387,9 +463,13 @@ def main():
         )
     if args.frame_prediction:
         args.cfg_scale = 1.0  # predict_frames hardcodes it; report truthfully
-        _, _, out_dir = predict_frames(args, ar_model, ar_params, tokenizer, tok_params)
+        _, _, out_dir = predict_frames(
+            args, ar_model, ar_params, tokenizer, tok_params, draft=draft
+        )
     else:
-        _, _, out_dir = sample_videos(args, ar_model, ar_params, tokenizer, tok_params)
+        _, _, out_dir = sample_videos(
+            args, ar_model, ar_params, tokenizer, tok_params, draft=draft
+        )
     finalize_multi_job(args, out_dir)
 
 

@@ -234,6 +234,48 @@ class Attention(nn.Module):
                 )
         return out
 
+    def _store_rows(self, lc, rows_k, rows_v, pos):
+        """Write [B, G, KV] K/V rows at PER-ROW positions pos[b] + g (rows
+        advance unevenly under speculative decoding). Scatter-based — one
+        XLA scatter per buffer instead of `_store`'s dynamic_update_slice,
+        since each batch row targets a different cache offset."""
+        B, G, _ = rows_k.shape
+        bidx = jnp.arange(B)[:, None]  # [B, 1]
+        pidx = pos[:, None] + jnp.arange(G)[None, :]  # [B, G]
+        out = dict(lc)
+        for name, sname, rows in (("k", "ks", rows_k), ("v", "vs", rows_v)):
+            if sname in lc:
+                q8, scale = _quantize_rows(rows)
+                out[name] = lc[name].at[bidx, pidx].set(q8)
+                out[sname] = lc[sname].at[pidx, bidx].set(
+                    scale.astype(lc[sname].dtype)
+                )
+            else:
+                out[name] = lc[name].at[bidx, pidx].set(
+                    rows.astype(lc[name].dtype)
+                )
+        return out
+
+    def decode_chunk(self, x, pos, lc, key_valid=None):
+        """G-token decode (speculative verification): x [B, G, dim] chunk
+        hidden states, the g-th at absolute position pos[b] + g (pos: [B]
+        int32). Writes the chunk's K/V at per-row positions, then attends
+        each chunk token causally over the live prefix + earlier chunk
+        tokens (ops.decode_attention.xla_chunk_attention)."""
+        from ..ops.decode_attention import xla_chunk_attention
+
+        B, G, _ = x.shape
+        q, k, v = self._split_qkv(x)
+        lc = self._store_rows(
+            lc, k.reshape(B, G, -1), v.reshape(B, G, -1), pos
+        )
+        out = xla_chunk_attention(
+            q, lc["k"], lc["v"], pos, key_valid=key_valid,
+            k_scale=lc.get("ks"), v_scale=lc.get("vs"),
+        )
+        out = out.reshape(B, G, self.n_head * self.head_dim).astype(x.dtype)
+        return self.wo(out), lc
+
     def prefill(self, x, lc, cond_mask=None):
         """Process S prompt tokens; writes this layer's cache dict IN PLACE
         (lc['k'|'v']: [B, S, Hkv * D], donated upstream). Per-layer arrays
@@ -333,6 +375,13 @@ class TransformerBlock(nn.Module):
     def decode_step(self, x, input_pos, lc, key_valid=None):
         a, lc = self.attention.decode_step(
             self.attention_norm(x), input_pos, lc, key_valid
+        )
+        h = x + a
+        return h + self.feed_forward(self.ffn_norm(h)), lc
+
+    def decode_chunk(self, x, pos, lc, key_valid=None):
+        a, lc = self.attention.decode_chunk(
+            self.attention_norm(x), pos, lc, key_valid
         )
         h = x + a
         return h + self.feed_forward(self.ffn_norm(h)), lc
@@ -531,6 +580,30 @@ class LARP_AR(nn.Module):
         new_cache = []
         for layer, lc in zip(self.layers, cache):
             h, lc = layer.decode_step(h, input_pos, lc, key_valid)
+            new_cache.append(lc)
+        h = self.norm(h)
+        logits = self.output(h)
+        return logits, tuple(new_cache)
+
+    def decode_chunk(self, idx: jax.Array, pos: jax.Array,
+                     cache, key_valid=None):
+        """Multi-token decode for speculative verification
+        (generation/speculative.py): idx [B, G] chunk tokens, the g-th at
+        absolute position pos[b] + g (pos: [B] int32 — rows advance unevenly
+        under speculative acceptance). Returns logits [B, G, V] (logits[:, g]
+        conditions on the prefix + chunk tokens 0..g) and the cache with the
+        chunk's K/V written at the per-row positions. PE lookups clip to the
+        table (chunk slots past the end of generation produce garbage logits
+        that the caller never commits)."""
+        h = self.tok_embeddings(idx)
+        pe_len = self.abs_pe.shape[1]
+        p = jnp.clip(
+            pos[:, None] + jnp.arange(idx.shape[1])[None, :], 0, pe_len - 1
+        )
+        h = h + jnp.take(self.abs_pe[0], p, axis=0).astype(h.dtype)
+        new_cache = []
+        for layer, lc in zip(self.layers, cache):
+            h, lc = layer.decode_chunk(h, pos, lc, key_valid)
             new_cache.append(lc)
         h = self.norm(h)
         logits = self.output(h)

@@ -359,6 +359,56 @@ def xla_decode_attention(q, k_cache, v_cache, pos, key_valid=None,
     return out.reshape(B, H, D).astype(q.dtype)
 
 
+def xla_chunk_attention(q, k_cache, v_cache, pos, key_valid=None,
+                        sm_scale=None, k_scale=None, v_scale=None):
+    """G-token causal decode attention over a KV cache (the speculative-
+    decoding verification forward; generation/speculative.py). q: [B, G, H, D]
+    — G chunk tokens per row, the g-th at absolute position pos[b] + g;
+    k_cache/v_cache: [B, S, Hkv * D] with the chunk's rows already written;
+    pos: [B] int32 per-row position of chunk token 0 (rows advance unevenly
+    under speculative acceptance); key_valid: optional [B, S] bool;
+    k_scale/v_scale: optional [S, 128] fp32 dequant planes for int8 caches.
+    Query g attends to cache slots <= pos[b] + g (causal within the chunk,
+    full prefix before it). Returns [B, G, H, D] in q.dtype.
+
+    XLA path only: the chunk reads the whole padded cache once per layer —
+    already amortized over the G tokens it verifies, so the Pallas live-
+    prefix DMA machinery buys far less here than in the 1-token loop."""
+    B, G, H, D = q.shape
+    S, KV = k_cache.shape[1], k_cache.shape[2]
+    Hkv = KV // D
+    rep = H // Hkv
+    scale = sm_scale if sm_scale is not None else D ** -0.5
+    qg = q.reshape(B, G, Hkv, rep, D).astype(jnp.float32)
+    kh = k_cache.reshape(B, S, Hkv, D)
+    vh = v_cache.reshape(B, S, Hkv, D)
+    if k_scale is not None:
+        kh = kh.astype(jnp.bfloat16)  # int8 -> bf16 exact; fuses into the dot
+        vh = vh.astype(jnp.bfloat16)
+    else:
+        kh = kh.astype(jnp.float32)
+        vh = vh.astype(jnp.float32)
+    scores = jnp.einsum(
+        "bghrd,bshd->bhrgs", qg, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if k_scale is not None:
+        scores = scores * k_scale[:, :B].T[:, None, None, None, :]
+    q_pos = pos[:, None] + jnp.arange(G)[None, :]  # [B, G]
+    valid = (
+        jnp.arange(S)[None, None, :] <= q_pos[:, :, None]
+    )[:, None, None, :, :]  # [B, 1, 1, G, S]
+    if key_valid is not None:
+        valid = jnp.logical_and(valid, key_valid[:, None, None, None, :])
+    scores = jnp.where(valid, scores, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :B].T[:, None, None, None, :]
+    out = jnp.einsum(
+        "bhrgs,bshd->bghrd", probs, vh, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, G, H, D).astype(q.dtype)
+
+
 def _pick_block_s(S: int, vmem_budget_bytes: int, row_bytes: int) -> int:
     """Largest block_s in {256, ..., 8} dividing S whose per-block fp32
     compute working set fits the budget. row_bytes = bc * KV * 4: the kernel
