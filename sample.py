@@ -393,6 +393,13 @@ def main():
                          "roughly the mean accepted length. Incompatible "
                          "with --cfg_interval >= 0.")
     ap.add_argument("--draft_version", default="sd")
+    ap.add_argument("--self_draft_layers", type=int, default=0,
+                    help="speculative decoding WITHOUT a separate draft "
+                         "checkpoint: draft = the target's own first N "
+                         "layers + shared embeddings/norm/head (early-exit "
+                         "drafting). Exact target distribution either way; "
+                         "a weak exit only lowers the acceptance rate. "
+                         "Mutually exclusive with --draft_model.")
     ap.add_argument("--gamma", type=int, default=4,
                     help="draft tokens proposed per verification chunk")
     ap.add_argument("--kv_dtype", default="auto", choices=["auto", "int8"],
@@ -418,6 +425,20 @@ def main():
         ar_model = LARP_AR(_dc.replace(ar_model.config, quantized=True))
         ar_params = quantize_params(ar_params)
     draft = None
+    if args.self_draft_layers > 0:
+        if args.draft_model is not None:
+            raise SystemExit(
+                "--self_draft_layers and --draft_model are mutually "
+                "exclusive: pick early-exit drafting or an external draft."
+            )
+        if args.cfg_interval >= 0:
+            raise SystemExit(
+                "--self_draft_layers is incompatible with --cfg_interval "
+                ">= 0 (speculative rows advance unevenly; no shared CFG "
+                "cutoff index exists)."
+            )
+        from video_tokenizer_tpu.generation import self_draft
+        draft = self_draft(ar_model, ar_params, args.self_draft_layers)
     if args.draft_model is not None:
         if args.cfg_interval >= 0:
             raise SystemExit(

@@ -10,6 +10,7 @@ from video_tokenizer_tpu.generation import generate, speculative_generate
 from video_tokenizer_tpu.generation.speculative import (
     residual_dist,
     sampling_dist,
+    self_draft,
 )
 from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
 
@@ -239,6 +240,23 @@ class TestSpeculativeGenerate:
         assert a.shape == (2, 9)
         assert ((np.asarray(a) >= 0) & (np.asarray(a) < 32)).all()
         assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_self_draft_greedy_equals_generate(self):
+        """Early-exit drafting (draft = target's first layer + shared
+        embeddings/norm/head, zero extra weights) must still emit the exact
+        target sequence under greedy decoding."""
+        model, variables = _tiny_ar(0)
+        draft, draft_params = self_draft(model, variables["params"], 1)
+        assert draft.config.n_layer == 1
+        assert "layers_1" not in draft_params
+        want = generate(model, variables, jnp.array([2, 3]), 10,
+                        jax.random.PRNGKey(0), sample_logits=False)
+        got = speculative_generate(
+            model, variables, draft, {"params": draft_params},
+            jnp.array([2, 3]), 10, jax.random.PRNGKey(0), gamma=3,
+            sample_logits=False,
+        )
+        assert np.array_equal(np.asarray(got), np.asarray(want))
 
     def test_frame_prediction_mode(self):
         """Frame-prediction prompts ([B, T] token conditioning) ride the

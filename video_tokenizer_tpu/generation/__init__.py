@@ -1,9 +1,10 @@
 from .generate import generate, top_k_top_p_filtering, sample_from_logits
-from .speculative import speculative_generate
+from .speculative import self_draft, speculative_generate
 
 __all__ = [
     "generate",
     "top_k_top_p_filtering",
     "sample_from_logits",
+    "self_draft",
     "speculative_generate",
 ]

@@ -35,6 +35,32 @@ import jax.numpy as jnp
 from .generate import top_k_top_p_filtering
 
 
+def self_draft(model, params: dict, n_draft_layers: int):
+    """Build a self-speculative draft from the TARGET's own weights: the
+    first `n_draft_layers` TransformerBlocks plus the shared embeddings /
+    final norm / output head (early-exit drafting, LayerSkip-style — no
+    separate draft checkpoint). Returns (draft_model, draft_params) for
+    `speculative_generate`; params is the target's `variables['params']`.
+
+    The rejection-sampling scheme keeps the OUTPUT distribution exactly the
+    target's regardless of draft quality — a weak early exit only lowers the
+    acceptance rate (throughput), never correctness. Layer params are named
+    `layers_{i}` (LARP_AR.setup), so the draft's tree is a key-subset of the
+    target's."""
+    import dataclasses
+
+    assert 1 <= n_draft_layers < model.config.n_layer
+    draft_model = type(model)(
+        dataclasses.replace(model.config, n_layer=n_draft_layers)
+    )
+    keep = {f"layers_{i}" for i in range(n_draft_layers)}
+    draft_params = {
+        k: v for k, v in params.items()
+        if not k.startswith("layers_") or k in keep
+    }
+    return draft_model, draft_params
+
+
 def sampling_dist(
     logits: jax.Array,
     temperature: float = 1.0,
