@@ -127,3 +127,32 @@ class TestTensorParallel:
             jax.random.PRNGKey(0), sample_logits=False,
         )
         assert np.array_equal(np.asarray(seq), np.asarray(seq_ref))
+
+    def test_tp_speculative_generation_runs(self):
+        """Speculative decoding (self-draft) under TP-sharded params: the
+        chunk-verify path's scatter stores and per-row masks must compose
+        with GSPMD sharding; greedy output == the replicated generate."""
+        from video_tokenizer_tpu.generation import (
+            generate, self_draft, speculative_generate,
+        )
+
+        model, variables, *_ = _model_and_data()
+        # randomize the zero-init head so greedy equality is non-trivial
+        params = dict(variables["params"])
+        params["output"] = {"kernel": jax.random.normal(
+            jax.random.PRNGKey(9), (64, 32)) * 0.5}
+        mesh = create_mesh(MeshConfig(data=4, model=2))
+        params_tp = shard_params_tp(params, mesh)
+        draft, draft_tp = self_draft(model, params_tp, 1)
+        cond = jax.device_put(
+            jnp.array([0, 1, 2, 3]), NamedSharding(mesh, P("data"))
+        )
+        seq = speculative_generate(
+            model, {"params": params_tp}, draft, {"params": draft_tp},
+            cond, 6, jax.random.PRNGKey(0), gamma=2, sample_logits=False,
+        )
+        seq_ref = generate(
+            model, {"params": params}, jnp.array([0, 1, 2, 3]), 6,
+            jax.random.PRNGKey(0), sample_logits=False,
+        )
+        assert np.array_equal(np.asarray(seq), np.asarray(seq_ref))
