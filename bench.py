@@ -166,7 +166,8 @@ def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
 
 
 def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
-                      gamma: int = 4, int8_kv: bool = False):
+                      gamma: int = 4, int8_kv: bool = False,
+                      target_kw: dict = None, draft_kw: dict = None):
     """Speculative-decoding serving throughput (sample.py --draft_model):
     632M llama-abs-LP target, ~60M draft (8 layers, d=768), gamma proposals
     per ONE target chunk verify. Both models keep their ZERO-INIT output
@@ -181,8 +182,14 @@ def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
 
     common = dict(vocab_size=8192, num_classes=101, max_seq_len=1024,
                   token_dropout_p=0.0, resid_dropout_p=0.0, ffn_dropout_p=0.0)
-    target = LARP_AR(ModelArgs(n_layer=30, n_head=20, dim=1280, **common))
-    draft = LARP_AR(ModelArgs(n_layer=8, n_head=12, dim=768, **common))
+    # target_kw/draft_kw override the geometry (tests run a tiny pair on CPU
+    # to keep this driver-run path from bitrotting between TPU sessions)
+    common.update(target_kw or {})
+    t_args = {"n_layer": 30, "n_head": 20, "dim": 1280, **common}
+    d_args = {**t_args, "n_layer": 8, "n_head": 12, "dim": 768,
+              **(draft_kw or {})}
+    target = LARP_AR(ModelArgs(**t_args))
+    draft = LARP_AR(ModelArgs(**d_args))
     cond = jnp.zeros((batch_size,), jnp.int32)
     idx = jnp.zeros((batch_size, 8), jnp.int32)
 

@@ -258,6 +258,22 @@ class TestSpeculativeGenerate:
         )
         assert np.array_equal(np.asarray(got), np.asarray(want))
 
+    def test_bench_speculative_tiny(self):
+        """bench.py's speculative extra is driver-run on TPU between
+        sessions; pin its code path on a tiny CPU geometry. Zero-init output
+        heads make both distributions uniform, so acceptance must be ~1.0
+        (the ceiling-measurement construction the bench relies on)."""
+        import bench
+
+        tok_s, acc = bench.bench_speculative(
+            batch_size=2, new_tokens=8, gamma=2,
+            target_kw=dict(n_layer=2, n_head=2, dim=64, vocab_size=32,
+                           max_seq_len=32),
+            draft_kw=dict(n_layer=1, n_head=2, dim=64),
+        )
+        assert tok_s > 0
+        assert acc == pytest.approx(1.0)
+
     def test_frame_prediction_mode(self):
         """Frame-prediction prompts ([B, T] token conditioning) ride the
         same machinery; greedy must match generate."""
