@@ -23,9 +23,24 @@ def merge_stats(paths):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--gen_stats", nargs="+", required=True)
-    ap.add_argument("--real_stats", nargs="+", required=True)
+    ap.add_argument("--gen_stats", nargs="+", default=None)
+    ap.add_argument("--real_stats", nargs="+", default=None)
+    ap.add_argument("--feature_stats_dir", default=None,
+                    help="directory of per-job shards, reference-CLI style "
+                         "(reference calc_fvd...py:15): picks up both "
+                         "sample.py's gen_stats_*/real_stats_* names and the "
+                         "reference's generated_fvd_stats_*/gt_fvd_stats_*")
     args = ap.parse_args()
+
+    if args.feature_stats_dir is not None:
+        d = Path(args.feature_stats_dir)
+        args.gen_stats = sorted(d.glob("gen_stats_*.pkl")) or sorted(
+            d.glob("generated_fvd_stats_*.pkl"))
+        args.real_stats = sorted(d.glob("real_stats_*.pkl")) or sorted(
+            d.glob("gt_fvd_stats_*.pkl"))
+    if not args.gen_stats or not args.real_stats:
+        ap.error("pass --gen_stats/--real_stats or a --feature_stats_dir "
+                 "containing per-job shards")
 
     gen = merge_stats(args.gen_stats)
     real = merge_stats(args.real_stats)

@@ -35,6 +35,7 @@ class UCFrFVDEvaluator:
         i3d_weights: Optional[str] = None,
         lpips_params=None,
         repeat_to_16_frames: bool = False,
+        compute_fvd: bool = True,
     ):
         self.model = model
         self.params = params
@@ -42,7 +43,8 @@ class UCFrFVDEvaluator:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.repeat_to_16_frames = repeat_to_16_frames
-        self.fvd = FVDCalculator(i3d_weights)
+        self.compute_fvd = compute_fvd
+        self.fvd = FVDCalculator(i3d_weights) if compute_fvd else None
         self.lpips = LPIPS()
         if lpips_params is None:
             d = jnp.zeros((1, 3, 32, 32))
@@ -92,7 +94,7 @@ class UCFrFVDEvaluator:
             if self.repeat_to_16_frames and x.shape[2] < 16:
                 x_fvd = common.repeat_to_m_frames(x, 16)
                 rec_fvd = common.repeat_to_m_frames(rec, 16)
-            if x_fvd.shape[2] >= 10:
+            if self.compute_fvd and x_fvd.shape[2] >= 10:
                 fake_stats = self.fvd.get_feature_stats_for_batch(rec_fvd, fake_stats)
                 real_stats = self.fvd.get_feature_stats_for_batch(x_fvd, real_stats)
             n += B

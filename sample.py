@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import csv as _csv
+import math
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -55,12 +56,26 @@ def write_video_mp4(video_chw: np.ndarray, path: str, fps: int = 25):
     vw.release()
 
 
+def _shard_batch(args, x):
+    """Place a per-batch array over the serving mesh's data axis (leading
+    dim), when --mesh_model/--mesh_data built one and the batch divides it;
+    GSPMD then runs the whole sampling program data+tensor parallel."""
+    mesh = getattr(args, "_mesh", None)
+    if mesh is None or x.shape[0] % mesh.shape["data"]:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def sample_videos(args, ar_model, ar_params, tokenizer, tok_params,
                   draft=None):
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     video_dir = out_dir / "videos"
-    video_dir.mkdir(exist_ok=True)
+    if args.save_videos:
+        video_dir.mkdir(exist_ok=True)
 
     dataset = datasets.make(
         {
@@ -114,7 +129,9 @@ def sample_videos(args, ar_model, ar_params, tokenizer, tok_params,
         # samples (and an all-tail job would otherwise save EMPTY stats
         # that crash the multi-job merge)
         items = [dataset[j] for j in idx_chunk]
-        labels = jnp.asarray([it["label"] for it in items], jnp.int32)
+        labels = _shard_batch(
+            args, jnp.asarray([it["label"] for it in items], jnp.int32)
+        )
         reals = video_to_float(np.stack([it["gt"] for it in items]))
 
         key, sub = jax.random.split(key)
@@ -178,7 +195,8 @@ def predict_frames(args, ar_model, ar_params, tokenizer, tok_params,
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     video_dir = out_dir / "videos"
-    video_dir.mkdir(exist_ok=True)
+    if args.save_videos:
+        video_dir.mkdir(exist_ok=True)
 
     dataset = datasets.make(
         {
@@ -237,7 +255,7 @@ def predict_frames(args, ar_model, ar_params, tokenizer, tok_params,
         # ragged tail processed at its own static shape (see sample_videos)
         items = [dataset[j] for j in idx_chunk]
         reals = video_to_float(np.stack([it["gt"] for it in items]))
-        x = jnp.asarray(reals)
+        x = _shard_batch(args, jnp.asarray(reals))
         x_cond = repeat_to_m_frames(
             x[:, :, : args.num_cond_frames], m=args.frame_num
         )
@@ -351,26 +369,42 @@ def main():
     ap.add_argument("--tokenizer_version", default="sd")
     ap.add_argument("--output_dir", default="save/samples")
     ap.add_argument("--root_path", default="data/metadata")
-    ap.add_argument("--csv_file", default="ucf101_val.csv")
+    # --dataset_csv/--dataset_split_seed/--sample_batch_size/--cs/--ns/--fp
+    # are the reference CLI's spellings (reference sample.py:47-67), accepted
+    # as aliases so its launch commands run unchanged
+    ap.add_argument("--csv_file", "--dataset_csv", default="ucf101_val.csv")
     ap.add_argument("--frame_num", type=int, default=16)
     ap.add_argument("--input_size", type=int, default=128)
-    ap.add_argument("--batch_size", type=int, default=16)
-    ap.add_argument("--cfg_scale", type=float, default=1.25)
+    ap.add_argument("--batch_size", "--sample_batch_size", type=int,
+                    default=16)
+    ap.add_argument("--cfg_scale", "--cs", type=float, default=1.25)
     ap.add_argument("--cfg_interval", type=int, default=-1)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
     ap.add_argument("--top_p", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--split_seed", type=int, default=1234)
+    ap.add_argument("--split_seed", "--dataset_split_seed", type=int,
+                    default=1234)
     ap.add_argument("--starting_index", type=int, default=0)
-    ap.add_argument("--num_samples", type=int, default=-1,
+    ap.add_argument("--num_samples", "--ns", type=int, default=-1,
                     help="samples for THIS job (-1: all)")
     ap.add_argument("--num_jobs", type=int, default=1)
+    ap.add_argument("--num_samples_total", type=int, default=None,
+                    help="total samples across all parallel jobs; implies "
+                         "num_jobs = ceil(total / num_samples) like the "
+                         "reference (reference sample.py:400-402)")
     ap.add_argument("--use_all_frames", action="store_true")
-    ap.add_argument("--frame_prediction", action="store_true")
+    ap.add_argument("--frame_prediction", "--fp", action="store_true")
     ap.add_argument("--num_cond_frames", type=int, default=5)
     ap.add_argument("--fp_resolution", type=int, default=64)
     ap.add_argument("--save_videos", action="store_true")
+    ap.add_argument("--stats_only", action="store_true",
+                    help="compute FVD stats only, never write mp4s "
+                         "(overrides --save_videos; reference sample.py:66)")
+    ap.add_argument("--replace", action="store_true",
+                    help="clear a previous run's rendezvous artifacts "
+                         "(merged.flag, done flags, stats pkls) before "
+                         "sampling (reference sample.py:461-466)")
     ap.add_argument("--i3d_weights", default=None)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "int8"],
@@ -402,6 +436,18 @@ def main():
                          "Mutually exclusive with --draft_model.")
     ap.add_argument("--gamma", type=int, default=4,
                     help="draft tokens proposed per verification chunk")
+    ap.add_argument("--mesh_model", type=int, default=1,
+                    help="Megatron tensor-parallel degree for SERVING: "
+                         "shards the AR prior (and draft) with the same "
+                         "GSPMD specs the trainers use (parallel/tp.py), "
+                         "and the tokenizer's ViT stacks for the decode "
+                         "pass — serve zoo sizes that exceed one chip's "
+                         "HBM (e.g. llama-abs-XXXL 3.9B). The reference "
+                         "serves strictly single-GPU.")
+    ap.add_argument("--mesh_data", type=int, default=0,
+                    help="data-parallel mesh axis for serving; 0 = all "
+                         "remaining devices (n_devices / mesh_model). "
+                         "--batch_size must divide it.")
     ap.add_argument("--kv_dtype", default="auto", choices=["auto", "int8"],
                     help="KV-cache dtype for the decode loop. auto follows "
                          "the param dtype (bf16/fp32); int8 quantizes every "
@@ -410,6 +456,22 @@ def main():
                          "the cache HBM traffic for ~1.27x more tokens/s on "
                          "top of --dtype int8 at a small accuracy cost.")
     args = ap.parse_args()
+
+    if args.stats_only:
+        args.save_videos = False
+    if args.num_samples_total is not None:
+        if args.num_samples <= 0:
+            raise SystemExit(
+                "--num_samples_total needs a positive per-job --num_samples"
+            )
+        args.num_jobs = math.ceil(args.num_samples_total / args.num_samples)
+    if args.replace:
+        out_dir = Path(args.output_dir)
+        stale = ["merged.flag", "rendezvous.lock", "done_*.flag",
+                 "gen_stats_*.pkl", "real_stats_*.pkl"]
+        for pat in stale:
+            for p in out_dir.glob(pat):
+                p.unlink()
 
     # local checkpoint dir or hub id (reference sample.py:404-415)
     ar_model, ar_params = load_model_pretrained(args.ar_model, args.ar_version)
@@ -424,6 +486,18 @@ def main():
         from video_tokenizer_tpu.models.larp_ar import LARP_AR, quantize_params
         ar_model = LARP_AR(_dc.replace(ar_model.config, quantized=True))
         ar_params = quantize_params(ar_params)
+    mesh = None
+    if args.mesh_model > 1 or args.mesh_data > 1:
+        from video_tokenizer_tpu.parallel import MeshConfig, create_mesh
+        from video_tokenizer_tpu.parallel.tp import shard_params_tp
+
+        n_dev = jax.device_count()
+        data = args.mesh_data or max(1, n_dev // args.mesh_model)
+        mesh = create_mesh(MeshConfig(data=data, model=args.mesh_model))
+        # shard BEFORE self_draft so early-exit draft views inherit the
+        # target's placement instead of re-materializing replicated copies
+        ar_params = shard_params_tp(ar_params, mesh)
+    args._mesh = mesh
     draft = None
     if args.self_draft_layers > 0:
         if args.draft_model is not None:
@@ -470,10 +544,18 @@ def main():
                 f"{bool(draft_model.frame_prediction)} does not match the "
                 f"target's {bool(ar_model.frame_prediction)}"
             )
+        if mesh is not None:
+            from video_tokenizer_tpu.parallel.tp import shard_params_tp
+
+            draft_params = shard_params_tp(draft_params, mesh)
         draft = (draft_model, draft_params)
     tokenizer, tok_params = load_model_pretrained(
         args.tokenizer, args.tokenizer_version
     )
+    if mesh is not None:
+        from video_tokenizer_tpu.parallel.tp import shard_params_tp_vit
+
+        tok_params = shard_params_tp_vit(tok_params, mesh)
     if args.frame_prediction != bool(ar_model.frame_prediction):
         raise SystemExit(
             f"--frame_prediction={args.frame_prediction} but the AR "

@@ -51,6 +51,27 @@ class TestConfig:
         d = cfg.to_dict()
         assert isinstance(d["a"], dict) and not isinstance(d["a"], ConfigDict)
 
+    def test_train_cli_wandb_flags(self, tmp_path):
+        """Reference launcher's wandb flags (train.py:36-38, incl. its
+        `--wandn_entity` spelling) map into the cfg keys BaseTrainer reads."""
+        import train as train_cli
+
+        p = tmp_path / "c.yaml"
+        p.write_text("trainer: t\n")
+        args = train_cli.parse_args([
+            "--cfg", str(p), "--manualSeed", "0", "-w",
+            "--wandn_entity", "me", "--wandb_project", "proj",
+        ])
+        assert args.wandb_upload and args.wandb_entity == "me"
+        cfg = train_cli.make_cfg(args)
+        assert cfg["wandb_upload"] is True
+        assert cfg["wandb_entity"] == "me"
+        assert cfg["wandb_project"] == "proj"
+
+        args = train_cli.parse_args(["--cfg", str(p), "--manualSeed", "0"])
+        cfg = train_cli.make_cfg(args)
+        assert "wandb_upload" not in cfg  # absent flags leave cfg untouched
+
 
 class TestFakeDataset:
     def test_null128(self):

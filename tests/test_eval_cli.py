@@ -57,3 +57,19 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     for key in ("num_samples", "mse", "psnr", "lpips", "fvd"):
         assert f"{key}:" in out, out
+
+    # reference CLI spellings (reference eval_larp_tokenizer.py:19-30):
+    # --dataset_csv/--num_frames aliases, --use_amp bf16 cast, --no_fvd,
+    # accepted no-ops --compile/--det/--amp_dtype
+    monkeypatch.setattr(sys, "argv", [
+        "eval_larp_tokenizer.py", "--tokenizer", str(tok_dir),
+        "--dataset_csv", "null128", "--num_frames", "8", "--input_size", "32",
+        "--batch_size", "4", "--num_workers", "0", "--max_batches", "1",
+        "--use_amp", "--amp_dtype", "float16", "--compile", "--det",
+        "--no_fvd",
+    ])
+    eval_cli.main()
+    out = capsys.readouterr().out
+    for key in ("num_samples", "mse", "psnr", "lpips"):
+        assert f"{key}:" in out, out
+    assert "fvd:" not in out  # --no_fvd skipped the I3D stage

@@ -94,6 +94,63 @@ def test_sample_cli_end_to_end(checkpoints, monkeypatch):
     assert len(rows) == 2 and rows[1][-1]  # one result row with an FVD value
 
 
+def test_sample_cli_reference_spellings(checkpoints, monkeypatch):
+    """The reference CLI's argument spellings (sample.py:47-67) are accepted
+    as drop-in aliases: --dataset_csv/--sample_batch_size/--ns/--cs/--fp,
+    --num_samples_total (implies num_jobs), --stats_only, --replace."""
+    import sample as sample_cli
+
+    tok_dir, ar_dir, root = checkpoints
+    out = root / "refargs" / "samples"
+    argv = [
+        "sample.py",
+        "--ar_model", str(ar_dir), "--tokenizer", str(tok_dir),
+        "--dataset_csv", "null128", "--frame_num", "8", "--input_size", "32",
+        "--sample_batch_size", "2", "--ns", "4", "--num_samples_total", "4",
+        "--cs", "1.5", "--top_k", "8", "--dtype", "float32",
+        "--stats_only", "--save_videos",  # stats_only wins
+        "--output_dir", str(out),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    sample_cli.main()
+    assert (out / "gen_stats_0.pkl").exists()
+    assert not (out / "videos").exists()  # --stats_only suppressed mp4s
+    with open(out.parent / "fvd_report.csv") as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 2
+    assert rows[1][3] == "1.5"  # cfg_scale column came from --cs
+
+    # --replace clears the first run's rendezvous artifacts so the rerun
+    # produces exactly one fresh shard set and appends a second report row
+    monkeypatch.setattr(sys, "argv", argv + ["--replace"])
+    sample_cli.main()
+    assert len(list(out.glob("gen_stats_*.pkl"))) == 1
+    with open(out.parent / "fvd_report.csv") as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 3
+
+
+def test_sample_cli_tp_serving(checkpoints, monkeypatch):
+    """--mesh_model 2 serves with Megatron-sharded AR + ViT params on the
+    8-device mesh (data=4 x model=2); the pipeline must run end-to-end and
+    produce stats shards exactly like single-device serving."""
+    import sample as sample_cli
+
+    tok_dir, ar_dir, root = checkpoints
+    out = root / "tp" / "samples"
+    monkeypatch.setattr(sys, "argv", [
+        "sample.py",
+        "--ar_model", str(ar_dir), "--tokenizer", str(tok_dir),
+        "--csv_file", "null128", "--frame_num", "8", "--input_size", "32",
+        "--batch_size", "4", "--num_samples", "4", "--top_k", "8",
+        "--dtype", "float32", "--mesh_model", "2",
+        "--output_dir", str(out),
+    ])
+    sample_cli.main()
+    assert (out / "gen_stats_0.pkl").exists()
+    assert (out / "merged.flag").exists()
+
+
 def test_sample_cli_multi_job_merge(checkpoints, monkeypatch):
     """Two sharded jobs write per-job stats; the last one merges and appends
     one fvd_report row covering both (reference sample.py:459-517)."""

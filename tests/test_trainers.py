@@ -215,6 +215,62 @@ class TestTokenizerTrainer:
         ))
         assert "model" in spec and "data" in spec
 
+    def test_grad_accum_matches_full_batch(self, tmp_path):
+        """cfg `grad_accum_steps: 2` on the GAN trainer: with the sources of
+        the documented accumulation deviations switched off (discriminator
+        gated off, deterministic VQ), two scanned microbatches reproduce the
+        full-batch generator loss trajectory."""
+        losses = {}
+        for name, over in (("full", {}), ("accum", {"grad_accum_steps": 2})):
+            cfg = _tok_cfg(tmp_path / name, **over)
+            cfg["model"]["args"]["bottleneck"]["args"]["regularizer"]["args"][
+                "stochastic"] = False
+            cfg["loss"]["args"]["disc_start"] = 100  # D inert -> exact match
+            tr = trainers.make(
+                {"name": "larp_tokenizer_trainer"}, args={"cfg": cfg}
+            )
+            tr.make_datasets()
+            tr.n_steps_per_epoch = 4
+            tr.epoch = 0
+            tr.make_model()
+            traj = []
+            for _ in range(2):
+                traj.append(
+                    _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))["loss"]
+                )
+            losses[name] = traj
+        np.testing.assert_allclose(losses["full"], losses["accum"], rtol=3e-5)
+
+    def test_grad_accum_gan_step(self, tmp_path):
+        """Accumulated step with the discriminator LIVE: both optimizers
+        update from the scanned microbatch grads (D gating intact)."""
+        cfg = _tok_cfg(tmp_path, grad_accum_steps=2)
+        cfg["loss"]["args"]["d_update_loss_threshold"] = -1e9
+        tr = trainers.make(
+            {"name": "larp_tokenizer_trainer"}, args={"cfg": cfg}
+        )
+        tr.make_datasets()
+        tr.n_steps_per_epoch = 4
+        tr.epoch = 1
+        tr.make_model()
+        disc_before = np.asarray(
+            tr.state["loss_params"]["discriminator"]["fc"]["kernel"]
+        ).copy()
+        gen_before = np.asarray(
+            tr.state["params"]["x_embedder"]["proj"]["kernel"]
+        ).copy()
+        info = _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))
+        assert np.isfinite(info["loss"])
+        assert "index_usage" in info and "perplexity" in info
+        assert not np.array_equal(
+            disc_before,
+            np.asarray(tr.state["loss_params"]["discriminator"]["fc"]["kernel"]),
+        )
+        assert not np.array_equal(
+            gen_before,
+            np.asarray(tr.state["params"]["x_embedder"]["proj"]["kernel"]),
+        )
+
     def test_disc_update_freq_gating(self, tmp_path):
         cfg = _tok_cfg(tmp_path)
         cfg["loss"]["args"]["d_update_freq"] = 1000  # never on these steps
@@ -305,6 +361,22 @@ class TestARTrainer:
                 wqkv = tr.state["params"]["layers_0"]["attention"]["wqkv"]["kernel"]
                 assert "model" in str(wqkv.sharding.spec)
         np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=2e-4)
+
+    def test_grad_accum_matches_full_batch(self, tmp_path):
+        """cfg `grad_accum_steps: 2`: two scanned microbatches per optimizer
+        update reproduce the full-batch loss trajectory exactly (equal-size
+        microbatches, fp32 grad accumulators; dropout/stochastic-VQ are off
+        in this cfg so the RNG split difference is inert)."""
+        losses = {}
+        for name, over in (("full", {}), ("accum", {"grad_accum_steps": 2})):
+            tr = _make_ar_trainer(_ar_cfg(tmp_path / name, **over))
+            traj = []
+            for _ in range(3):
+                traj.append(
+                    _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))["loss"]
+                )
+            losses[name] = traj
+        np.testing.assert_allclose(losses["full"], losses["accum"], rtol=2e-5)
 
     def test_pp_trainer_matches_replicated(self, tmp_path):
         """cfg `mesh_pipe: 2`: the trainer's GPipe pipeline step on a

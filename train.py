@@ -50,6 +50,14 @@ def parse_args(args=None):
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed for multi-host runs")
+    # wandb knobs, CLI-compatible with the reference launcher
+    # (reference train.py:36-38; `--wandn_entity` is the reference's own
+    # spelling, accepted verbatim so its launch scripts run unchanged)
+    parser.add_argument("--wandb-upload", "-w", dest="wandb_upload",
+                        action="store_true")
+    parser.add_argument("--wandb_entity", "--wandn_entity",
+                        dest="wandb_entity", type=str, default=None)
+    parser.add_argument("--wandb_project", type=str, default=None)
     return parser.parse_args(args)
 
 
@@ -78,6 +86,12 @@ def make_cfg(args):
             )
     cfg["manualSeed"] = args.manualSeed
     cfg["replace"] = args.replace
+    if args.wandb_upload:
+        cfg["wandb_upload"] = True
+    if args.wandb_entity is not None:
+        cfg["wandb_entity"] = args.wandb_entity
+    if args.wandb_project is not None:
+        cfg["wandb_project"] = args.wandb_project
     name = args.name or os.path.splitext(os.path.basename(args.cfg))[0]
     tag = f"_{args.tag}" if args.tag else ""
     cfg["save_dir"] = os.path.join(args.out_path, f"{name}{tag}")

@@ -71,6 +71,7 @@ class _ARTrainerBase(BaseTrainer):
         self.compute_dtype = (
             jnp.bfloat16 if cfg.get("use_amp", False) else jnp.float32
         )
+        self.grad_accum = int(cfg.get("grad_accum_steps", 1))
         self._info_keys = {}
 
     # -------------------------------------------------------------- building
@@ -283,31 +284,86 @@ class _ARTrainerBase(BaseTrainer):
         cond = batch["label"].astype(jnp.int32)
         return cond, z
 
+    def _loss_fn(self, params, z, cond, r_drop, is_train):
+        if self._pp_apply is not None:
+            from ..models.larp_ar import ar_sequence_loss
+
+            logits = self._pp_apply(
+                params, z[:, :-1], cond, is_train,
+                rngs={"dropout": r_drop},
+            )
+            nll_sum, n = ar_sequence_loss(logits, z)
+            return nll_sum / jnp.maximum(n, 1), logits
+        logits, loss = self.model.apply(
+            {"params": params}, z[:, :-1], cond, targets=z,
+            train=is_train, rngs={"dropout": r_drop},
+        )
+        return loss, logits
+
+    def _accum_grads(self, state, vae_params, batch, r_vq, r_drop):
+        """cfg `grad_accum_steps: A`: one optimizer update from A sequential
+        microbatches, as a lax.scan INSIDE the jitted step (grads summed in
+        fp32, VAE encode + forward + backward per microbatch) — A x the
+        effective batch at ~1/A the activation memory. The reference has no
+        accumulation (its recipes fit per-GPU batches); this is the
+        TPU-native lever for recipes whose global batch exceeds HBM."""
+        A = self.grad_accum
+        B = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if B % A:
+            raise ValueError(
+                f"grad_accum_steps={A} must divide the per-step batch {B}"
+            )
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((A, B // A) + x.shape[1:]), batch
+        )
+
+        def body(carry, inp):
+            g_acc, info_acc = carry
+            mb, rv, rd = inp
+            cond, z = self._make_cond_and_targets(vae_params, mb, rv)
+            (loss, logits), g = jax.value_and_grad(
+                lambda p: self._loss_fn(p, z, cond, rd, True), has_aux=True
+            )(state["params"])
+            info = {"loss": loss, **stats.topk_accuracy(logits, z, ks=(1, 5))}
+            g_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b.astype(jnp.float32), g_acc, g
+            )
+            info_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b.astype(jnp.float32), info_acc, info
+            )
+            return (g_acc, info_acc), None
+
+        g0 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state["params"]
+        )
+        i0 = {k: jnp.zeros((), jnp.float32) for k in ("loss", "top1", "top5")}
+        (g_sum, info_sum), _ = jax.lax.scan(
+            body, (g0, i0), (micro, jax.random.split(r_vq, A),
+                             jax.random.split(r_drop, A))
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / A).astype(p.dtype), g_sum, state["params"]
+        )
+        info = {k: v / A for k, v in info_sum.items()}
+        return grads, info
+
     def _step_impl(self, state, vae_params, batch, is_train: bool):
         rng = state["rng"]
         rng, r_vq, r_drop = jax.random.split(rng, 3)
-        cond, z = self._make_cond_and_targets(vae_params, batch, r_vq)
-
-        def loss_fn(params):
-            if self._pp_apply is not None:
-                from ..models.larp_ar import ar_sequence_loss
-
-                logits = self._pp_apply(
-                    params, z[:, :-1], cond, is_train,
-                    rngs={"dropout": r_drop},
-                )
-                nll_sum, n = ar_sequence_loss(logits, z)
-                return nll_sum / jnp.maximum(n, 1), logits
-            logits, loss = self.model.apply(
-                {"params": params}, z[:, :-1], cond, targets=z,
-                train=is_train, rngs={"dropout": r_drop},
-            )
-            return loss, logits
 
         if is_train:
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["params"]
-            )
+            if self.grad_accum > 1:
+                grads, info = self._accum_grads(
+                    state, vae_params, batch, r_vq, r_drop
+                )
+            else:
+                cond, z = self._make_cond_and_targets(vae_params, batch, r_vq)
+                (loss, logits), grads = jax.value_and_grad(
+                    lambda p: self._loss_fn(p, z, cond, r_drop, True),
+                    has_aux=True,
+                )(state["params"])
+                info = {"loss": loss,
+                        **stats.topk_accuracy(logits, z, ks=(1, 5))}
             updates, new_opt = self.tx.update(grads, state["opt"], state["params"])
             new_params = optax.apply_updates(state["params"], updates)
             ema_params = {
@@ -315,11 +371,12 @@ class _ARTrainerBase(BaseTrainer):
                 for d in state["ema_params"]
             }
         else:
-            loss, logits = loss_fn(state["params"])
+            cond, z = self._make_cond_and_targets(vae_params, batch, r_vq)
+            loss, logits = self._loss_fn(state["params"], z, cond, r_drop,
+                                         False)
             new_params, new_opt = state["params"], state["opt"]
             ema_params = state["ema_params"]
-
-        info = {"loss": loss, **stats.topk_accuracy(logits, z, ks=(1, 5))}
+            info = {"loss": loss, **stats.topk_accuracy(logits, z, ks=(1, 5))}
         keys = tuple(sorted(info))
         self._info_keys["train" if is_train else "eval"] = keys
         packed = jnp.stack([info[k].astype(jnp.float32) for k in keys])

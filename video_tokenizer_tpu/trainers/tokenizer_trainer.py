@@ -62,6 +62,7 @@ class LARPTokenizerTrainer(BaseTrainer):
         self.kl_decay_epoch = int(cfg.get("kl_decay_epoch", -1))
         self.loss_latent_ce_weight = float(cfg.get("loss_latent_ce_weight", 0.0))
         self.clip_grad_max_norm = float(cfg.get("clip_grad_max_norm", 0.0))
+        self.grad_accum = int(cfg.get("grad_accum_steps", 1))
         self.compute_dtype = (
             jnp.bfloat16 if cfg.get("use_amp", False) else jnp.float32
         )
@@ -240,10 +241,7 @@ class LARPTokenizerTrainer(BaseTrainer):
         else:
             self.state = jax.device_put(state, rep)
 
-        self._train_step = jax.jit(
-            functools.partial(self._step_impl, is_train=True),
-            donate_argnums=(0,),
-        )
+        self._train_step = jax.jit(self._train_impl(), donate_argnums=(0,))
         self._eval_step = jax.jit(functools.partial(self._step_impl, is_train=False))
         self._recon_fn = jax.jit(self._recon_impl)
         self._setup_fvd()
@@ -496,6 +494,214 @@ class LARPTokenizerTrainer(BaseTrainer):
             # hand eval callers the reconstruction too: the FVD feature pass
             # reuses this forward instead of running the tokenizer twice
             return new_state, packed, jnp.clip(pred_frames, 0.0, 1.0)
+        return new_state, packed
+
+    def _train_impl(self):
+        """The train-step callable to jit: the accumulation variant when
+        cfg grad_accum_steps > 1 (shared with the STAT trainer's rebuild)."""
+        if self.grad_accum > 1:
+            return self._accum_step_impl
+        return functools.partial(self._step_impl, is_train=True)
+
+    def _accum_step_impl(self, state, batch, epoch):
+        """cfg `grad_accum_steps: A` train step: a lax.scan over A equal
+        microbatches accumulates BOTH optimizers' grads in fp32, then applies
+        each update once — A x the effective batch at ~1/A the activation
+        memory (the 24-layer ViT over 3072 tokens dominates HBM here). The
+        reference has no accumulation; its recipe assumes 8 GPUs
+        (scripts/train_larp_tokenizer_reproduce.sh).
+
+        Two documented deviations from the non-accum step (both standard for
+        accumulated GAN training, and exact no-ops while the discriminator
+        is gated off): the generator loss sees the PRE-update discriminator
+        (re-running A forwards against the updated one would forfeit the
+        single-forward VJP), and the LeCam EMA chains through the
+        microbatches sequentially (gated like the D update)."""
+        A = self.grad_accum
+        data_all = common.video_to_float(batch["gt"])
+        B = data_all.shape[0]
+        if B % A:
+            raise ValueError(
+                f"grad_accum_steps={A} must divide the per-step batch {B}"
+            )
+        data_mb = data_all.reshape((A, B // A) + data_all.shape[1:])
+        rng = state["rng"]
+        rng, r_mb = jax.random.split(rng)
+        mb_keys = jax.random.split(r_mb, A)
+        step = state["step"]
+
+        params0 = state["params"]
+        loss_params0, loss_ema0 = state["loss_params"], state["loss_ema"]
+        disc_self_start = self.loss_mod.disc_self_start
+        if disc_self_start is None or disc_self_start < 0:
+            disc_self_start = self.loss_mod.disc_start
+        lqw = self._loss_q_weight_for_epoch(epoch)
+        klw = self._kl_weight_for_step(step)
+        bs0 = state.get("batch_stats") or None
+
+        def body(carry, inp):
+            g_acc, d_acc, ema_c, bs_c = carry
+            data, k = inp
+            r_vq, r_gan_d, r_gan_g = jax.random.split(k, 3)
+
+            def model_fwd(params):
+                out, new_bs = self._apply_model(
+                    params, data, True, r_vq, batch_stats=bs_c,
+                )
+                diff = {"pred_frames": out["pred_frames"].astype(jnp.float32)}
+                for kk in ("loss_q", "loss_kl", "loss_latent_ce",
+                           "align_loss", "probs"):
+                    if kk in out:
+                        diff[kk] = out[kk].astype(jnp.float32)
+                aux = {
+                    kk: v for kk, v in out.items()
+                    if kk not in diff and not isinstance(v, dict)
+                }
+                return diff, (aux, new_bs)
+
+            (diff_out, vjp_fn, (aux, new_bs)) = jax.vjp(
+                model_fwd, params0, has_aux=True
+            )
+            pred_frames = diff_out["pred_frames"]
+
+            def d_loss_fn(lp):
+                (dl, dinfo), mut = self.loss_mod.apply(
+                    {"params": lp, "ema": ema_c},
+                    data, jax.lax.stop_gradient(pred_frames), epoch,
+                    for_discriminator=True, train=True,
+                    rngs={"gan": r_gan_d}, mutable=["ema"],
+                )
+                return dl, (dinfo, mut["ema"])
+
+            (d_loss, (d_info, new_ema)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(loss_params0)
+
+            def g_loss_fn(diff):
+                gl, ginfo = self.loss_mod.apply(
+                    {"params": loss_params0, "ema": new_ema},
+                    data, diff["pred_frames"], epoch,
+                    for_discriminator=False, train=True,
+                    rngs={"gan": r_gan_g},
+                )
+                total = gl
+                if "loss_kl" in diff:
+                    total = total + diff["loss_kl"] * klw
+                    ginfo["loss_kl"] = diff["loss_kl"]
+                    ginfo["kl_weight"] = klw
+                if "align_loss" in diff:
+                    total = total + diff["align_loss"] * 0.2
+                    ginfo["align_loss"] = diff["align_loss"]
+                if "loss_q" in diff:
+                    total = total + diff["loss_q"] * lqw
+                    ginfo["loss_q"] = diff["loss_q"]
+                if "loss_latent_ce" in diff:
+                    total = (total
+                             + diff["loss_latent_ce"] * self.loss_latent_ce_weight)
+                    ginfo["loss_latent_ce"] = diff["loss_latent_ce"]
+                extra_loss, extra_info = self._generator_extra_loss(
+                    diff, data, loss_params0, new_ema, r_gan_g
+                )
+                total = total + extra_loss
+                ginfo.update(extra_info)
+                return total, ginfo
+
+            (g_total, g_info), out_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(diff_out)
+            (param_grads,) = vjp_fn(out_grads)
+
+            info = dict(d_info)
+            info.update(g_info)
+            b = data.shape[0]
+            mses = jnp.mean((pred_frames - data).reshape(b, -1) ** 2, axis=-1)
+            info["mse"] = jnp.mean(mses)
+            info["psnr"] = jnp.mean(common.psnr_from_mse(mses))
+            info["ssim"] = stats.video_ssim(pred_frames, data)
+            info["loss"] = g_total
+            if "bottleneck_rep" in aux and aux["bottleneck_rep"].dtype in (
+                jnp.int32, jnp.int64,
+            ):
+                cb = self.model.codebook_size
+                hist_first = stats.index_histogram(aux["bottleneck_rep"][0], cb)
+                hist_batch = stats.index_histogram(aux["bottleneck_rep"], cb)
+                info["index_usage"] = stats.index_usage_percentage(hist_first)
+                info["index_usage_batch"] = stats.index_usage_percentage(
+                    hist_batch)
+                info["perplexity"] = stats.perplexity(hist_first)
+                info["kl_uni"] = stats.kl_divergence_from_uniform(hist_first)
+            for kk, v in aux.items():
+                if hasattr(v, "ndim") and v.ndim == 0:
+                    info[kk] = v
+            info = {
+                kk: jnp.asarray(v, jnp.float32)
+                for kk, v in info.items() if jnp.ndim(v) == 0
+            }
+
+            add32 = lambda a, g: jax.tree_util.tree_map(
+                lambda x, y: x + y.astype(jnp.float32), a, g
+            )
+            carry = (add32(g_acc, param_grads), add32(d_acc, d_grads),
+                     new_ema, new_bs if new_bs is not None else bs_c)
+            return carry, (d_loss, info)
+
+        zeros32 = lambda t: jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), t
+        )
+        (g_sum, d_sum, ema_f, bs_f), (d_losses, infos) = jax.lax.scan(
+            body, (zeros32(params0), zeros32(loss_params0), loss_ema0, bs0),
+            (data_mb, mb_keys),
+        )
+        info = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), infos)
+        d_loss = jnp.mean(d_losses)
+        mean32 = lambda s, ref: jax.tree_util.tree_map(
+            lambda g, p: (g / A).astype(p.dtype), s, ref
+        )
+
+        # discriminator update from the accumulated grads, gated exactly like
+        # the non-accum step (threshold on the MEAN microbatch d_loss)
+        should_d = (
+            (epoch >= disc_self_start)
+            & (jnp.mod(step, self.loss_mod.d_update_freq) == 0)
+            & (d_loss > self.loss_mod.d_update_loss_threshold)
+        )
+        d_updates, new_opt_d = self.d_tx.update(
+            mean32(d_sum, loss_params0), state["opt_d"], loss_params0
+        )
+        d_lr = self._d_sched(step)
+        d_updates = jax.tree_util.tree_map(lambda u: u * d_lr, d_updates)
+        cand_params = optax.apply_updates(loss_params0, d_updates)
+        sel = lambda n, o: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(should_d, a, b), n, o
+        )
+        loss_params = sel(cand_params, loss_params0)
+        opt_d = sel(new_opt_d, state["opt_d"])
+        loss_ema = sel(ema_f, loss_ema0)
+
+        g_updates, new_opt_g = self.g_tx.update(
+            mean32(g_sum, params0), state["opt_g"], params0
+        )
+        new_params = optax.apply_updates(params0, g_updates)
+        ema_params = {
+            d: ema_update(state["ema_params"][d], new_params, float(d))
+            for d in state["ema_params"]
+        }
+
+        new_state = {
+            "params": new_params,
+            "batch_stats": bs_f if bs_f is not None else
+            state.get("batch_stats", {}),
+            "loss_params": loss_params,
+            "loss_ema": loss_ema,
+            "opt_g": new_opt_g,
+            "opt_d": opt_d,
+            "ema_params": ema_params,
+            "step": step + 1,
+            "rng": rng,
+        }
+        keys = tuple(sorted(info))
+        self._info_keys["train"] = keys
+        packed = jnp.stack([info[k] for k in keys])
         return new_state, packed
 
     # ------------------------------------------------------------ loop hooks

@@ -63,10 +63,7 @@ class LARPTokenizerTrainerStat(LARPTokenizerTrainer):
         self._stage = "adaptive"
 
     def _rebuild_jits(self):
-        self._train_step = jax.jit(
-            functools.partial(self._step_impl, is_train=True),
-            donate_argnums=(0,),
-        )
+        self._train_step = jax.jit(self._train_impl(), donate_argnums=(0,))
         self._eval_step = jax.jit(
             functools.partial(self._step_impl, is_train=False)
         )
