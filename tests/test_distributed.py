@@ -111,3 +111,41 @@ class TestBatchNormOnMesh:
             jax.tree_util.tree_leaves(upd_mesh),
         ):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestHybridMesh:
+    """Multi-slice (DCN) mesh layout decisions (parallel/mesh.py). Real
+    multi-slice hardware is unavailable here; the layout-policy logic is
+    tested with fake device objects, and the single-slice fallback is the
+    path every other test in this suite runs."""
+
+    def test_slice_count(self):
+        import types
+
+        from video_tokenizer_tpu.parallel.mesh import slice_count
+
+        assert slice_count(jax.devices()) == 1  # CPU: no slice_index
+        fakes = [types.SimpleNamespace(slice_index=i % 4) for i in range(16)]
+        assert slice_count(fakes) == 4
+        # None slice_index (older backends) counts as one slice
+        fakes = [types.SimpleNamespace(slice_index=None) for _ in range(4)]
+        assert slice_count(fakes) == 1
+
+    def test_model_axis_cannot_span_dcn(self):
+        import types
+
+        import pytest
+
+        from video_tokenizer_tpu.parallel.mesh import MeshConfig, create_mesh
+
+        fakes = [types.SimpleNamespace(slice_index=i % 3) for i in range(6)]
+        # data=2 not divisible by 3 slices -> model would span DCN: refuse
+        with pytest.raises(ValueError, match="slices"):
+            create_mesh(MeshConfig(data=2, model=3), devices=fakes)
+
+    def test_single_slice_fallback_is_plain_reshape(self):
+        from video_tokenizer_tpu.parallel.mesh import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(data=4, model=2))
+        assert mesh.shape == {"data": 4, "model": 2}
+        assert list(np.asarray(mesh.devices).reshape(-1)) == jax.devices()

@@ -39,13 +39,46 @@ class MeshConfig:
         return data, model
 
 
+def slice_count(devices: Sequence[jax.Device]) -> int:
+    """Number of distinct TPU slices among `devices` (1 for CPU/GPU or a
+    single slice; devices without a slice_index count as one slice)."""
+    ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+    return max(len(ids), 1)
+
+
 def create_mesh(
     config: Optional[MeshConfig] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
+    """Build the (data, model) mesh.
+
+    On a MULTI-SLICE TPU pod (devices spanning several ICI domains joined by
+    DCN), the device order matters: the slower DCN links must carry only the
+    outermost 'data'-axis collectives (gradient all-reduce tolerates DCN
+    latency; Megatron TP's per-layer all-reduces do not). We lay the mesh out
+    hybrid — data split across slices first, then within-slice — via
+    `mesh_utils.create_hybrid_device_mesh`, so 'model' (and the within-slice
+    part of 'data') always rides ICI. Single-slice / CPU fall back to a plain
+    reshape. This is the "pick a mesh so collectives ride ICI, not DCN"
+    recipe; the reference is single-node NCCL and has no analogue."""
     config = config or MeshConfig()
     devices = list(devices) if devices is not None else jax.devices()
     data, model = config.resolve(len(devices))
+    n_slices = slice_count(devices)
+    if n_slices > 1:
+        if data % n_slices:
+            raise ValueError(
+                f"data axis {data} must be a multiple of the {n_slices} "
+                "slices (model/pipe axes cannot span DCN)"
+            )
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(data // n_slices, model),
+            dcn_mesh_shape=(n_slices, 1),
+            devices=devices,
+        )
+        return Mesh(dev_array, axis_names=("data", "model"))
     dev_array = np.array(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

@@ -47,10 +47,29 @@ shard_map = jax.shard_map
 
 def create_pp_mesh(data: int, pipe: int) -> Mesh:
     """A (data, pipe) mesh. Lay 'pipe' innermost so stage hops ride
-    neighbouring ICI links."""
+    neighbouring ICI links; on a multi-slice pod, split 'data' across
+    slices so only the gradient all-reduce crosses DCN (see
+    mesh.create_mesh)."""
     devices = jax.devices()
     if data * pipe != len(devices):
         raise ValueError(f"mesh {data}x{pipe} != {len(devices)} devices")
+    from .mesh import slice_count
+
+    n_slices = slice_count(devices)
+    if n_slices > 1:
+        if data % n_slices:
+            raise ValueError(
+                f"data axis {data} must be a multiple of the {n_slices} "
+                "slices (the pipe axis cannot span DCN)"
+            )
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(data // n_slices, pipe),
+            dcn_mesh_shape=(n_slices, 1),
+            devices=devices,
+        )
+        return Mesh(dev_array, ("data", "pipe"))
     return Mesh(np.array(devices).reshape(data, pipe), ("data", "pipe"))
 
 
