@@ -522,6 +522,9 @@ class TestEpochLoop:
         path = os.path.join(cfg["save_dir"], "epoch-last")
         meta = ckpt_lib.load_meta(path)
         assert meta["preempted"] and meta["epoch"] == 0  # epoch 1 replays
+        # SIGTERM landed before batch 1 was yielded; the flag is honored at
+        # the next step boundary -> 2 batches were applied before saving
+        assert meta["resume_skip_steps"] == 2
 
         cfg2 = _tok_cfg(tmp_path, max_epoch=3)
         tr2 = trainers.make(
@@ -532,6 +535,29 @@ class TestEpochLoop:
         tr2.make_model()
         assert tr2.try_resume()
         assert tr2.epoch == 0  # next train() pass starts at epoch 1
+        assert tr2._resume_skip == 2
+
+        # the replayed epoch consumes the 2 already-applied batches WITHOUT
+        # re-applying them (exact resume, no double-trained steps)
+        applied = []
+        orig_step = tr2.train_step
+        tr2.train_step = lambda b: applied.append(1) or orig_step(b)
+        full_loader2 = tr2.train_loader
+
+        def limited_loader(epoch):
+            for i, b in enumerate(full_loader2(epoch)):
+                if i >= 3:
+                    break
+                yield b
+
+        tr2.train_loader = limited_loader
+        tr2.epoch = 1
+        tr2.global_step = 0
+        tr2.log_buffer = []
+        tr2.t_data = tr2.t_model = 0.0
+        tr2.train_epoch()
+        assert len(applied) == 1  # 3 batches - 2 skipped
+        assert tr2._resume_skip == 0  # consumed; later epochs run in full
 
 
 class TestVisualization:

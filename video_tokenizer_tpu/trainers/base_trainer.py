@@ -366,7 +366,15 @@ class BaseTrainer:
         self.load_state(state)
         self.epoch = meta["epoch"]
         self.global_step = meta["global_step"]
-        self.log(f"resumed from {path} at epoch {self.epoch}")
+        # mid-epoch preemption checkpoint: the interrupted epoch replays
+        # with its first `resume_skip_steps` batches consumed but NOT
+        # re-applied (they are already in the restored state); data order is
+        # epoch-seeded so the fast-forward is exact
+        self._resume_skip = int(meta.get("resume_skip_steps", 0) or 0)
+        self.log(
+            f"resumed from {path} at epoch {self.epoch}"
+            + (f" (+{self._resume_skip} steps)" if self._resume_skip else "")
+        )
         return True
 
     def run(self):
@@ -446,17 +454,18 @@ class BaseTrainer:
 
     def _checkpoint_on_preempt(self):
         """Save a resumable epoch-last and exit cleanly. Mid-epoch, the meta
-        epoch is rolled back one so `try_resume` replays the interrupted
-        epoch from its start (data order is epoch-seeded, so the replay is
-        deterministic; re-training a partial epoch is the standard
-        trade-off for step-granular preemption safety). If this epoch's
+        epoch is rolled back one and `resume_skip_steps` records how many of
+        the interrupted epoch's batches were already applied: `try_resume` +
+        `train_epoch` replay the epoch's (deterministic, epoch-seeded) data
+        stream, consuming those batches without re-applying them — exact
+        step-granular resume, no double-trained batches. If this epoch's
         training already completed (preempt during eval/vis/save), no
         rollback — resume continues with the next epoch."""
         meta = self.checkpoint_meta()
-        meta["epoch"] = (
-            self.epoch if getattr(self, "_epoch_complete", False)
-            else self.epoch - 1
-        )
+        epoch_done = getattr(self, "_epoch_complete", False)
+        meta["epoch"] = self.epoch if epoch_done else self.epoch - 1
+        if not epoch_done:
+            meta["resume_skip_steps"] = getattr(self, "_epoch_step", 0)
         meta["preempted"] = True
         path = os.path.join(self.save_dir, "epoch-last")
         ckpt_lib.save_checkpoint(path, self.state_for_checkpoint(), meta)
@@ -524,10 +533,19 @@ class BaseTrainer:
         profile_steps = int(self.cfg.get("profile_steps", 0))
         profiling = False
         epoch_step = 0
+        # exact mid-epoch resume (see _checkpoint_on_preempt): consume the
+        # already-applied batches of the interrupted epoch without stepping
+        skip = getattr(self, "_resume_skip", 0)
+        self._resume_skip = 0
         t1 = time.time()
         for batch in self.train_loader(self.epoch):
             self.global_step += 1
             epoch_step += 1
+            self._epoch_step = epoch_step
+            if skip > 0:
+                skip -= 1
+                t1 = time.time()
+                continue
             if profile_steps and self.epoch == self.starting_epoch:
                 if epoch_step == 2:
                     jax.profiler.start_trace(
