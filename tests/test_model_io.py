@@ -117,3 +117,89 @@ class TestAsyncCheckpoint:
         out2 = ckpt_lib.restore_checkpoint(str(path), state2)
         assert float(np.asarray(out2["params"]["w"])[0, 0]) == 7.0
         assert int(np.asarray(out2["step"])) == 4
+
+
+class TestReferenceExport:
+    """Round-trip: tools/export_reference_tokenizer.py (Flax -> reference
+    torch state dict) inverted by tools/convert_reference_tokenizer.py
+    must give back the identical param tree — so checkpoints trained here
+    load in the upstream reference via its from_checkpoint format."""
+
+    def _assert_trees_equal(self, a, b):
+        fa = jax.tree_util.tree_flatten_with_path(a)
+        fb = jax.tree_util.tree_flatten_with_path(b)
+        assert [p for p, _ in fa[0]] == [p for p, _ in fb[0]]
+        for (path, x), (_, y) in zip(fa[0], fb[0]):
+            np.testing.assert_array_equal(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                err_msg=str(path),
+            )
+
+    def test_tokenizer_roundtrip(self):
+        import sys as _sys
+        _sys.path.insert(0, "tools")
+        from convert_reference_tokenizer import convert_larp_tokenizer
+        from export_reference_tokenizer import export_larp_tokenizer
+
+        from video_tokenizer_tpu import registry
+
+        model = registry.models.make(TINY_SPEC)
+        x = jnp.zeros((1, 3, 8, 32, 32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)}, x
+        )
+        params = jax.tree_util.tree_map(np.asarray, variables["params"])
+        sd = export_larp_tokenizer(model, params)
+        # persistent sin-cos buffers present for the reference's strict load
+        for buf in ("encoder_patch_pe", "decoder_latent_pe",
+                    "decoder_patch_query_embed"):
+            assert buf in sd, buf
+        back = convert_larp_tokenizer(sd)
+        self._assert_trees_equal(params, back)
+
+    def test_ar_roundtrip_and_torch_load(self, tmp_path):
+        import sys as _sys
+        _sys.path.insert(0, "tools")
+        from convert_reference_tokenizer import convert_larp_ar
+        from export_reference_tokenizer import export_larp_ar, main as export_main
+
+        from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
+
+        cfg = ModelArgs(
+            dim=32, n_layer=2, n_head=4, vocab_size=16, num_classes=7,
+            class_dropout_prob=0.1, max_seq_len=8, token_dropout_p=0.0,
+            resid_dropout_p=0.0, ffn_dropout_p=0.0,
+        )
+        ar = LARP_AR(cfg)
+        idx = jnp.zeros((1, 4), jnp.int32)
+        cond = jnp.zeros((1,), jnp.int32)
+        variables = ar.init({"params": jax.random.PRNGKey(2)}, idx, cond)
+        params = jax.tree_util.tree_map(np.asarray, variables["params"])
+        sd = export_larp_ar(ar, params)
+        back = convert_larp_ar(sd)
+        self._assert_trees_equal(params, back)
+
+        # CLI path: checkpoint dir -> .pth loadable by torch in the
+        # reference's {"model": {"name", "args", "sd"}} shape
+        torch = pytest.importorskip("torch")
+        import dataclasses
+        ck = tmp_path / "ar_ckpt"
+        ckpt_lib.save_checkpoint(
+            str(ck), {"params": params},
+            meta={"model": {"name": "larp_ar",
+                            "args": dataclasses.asdict(cfg)}},
+        )
+        out = tmp_path / "ar_ref.pth"
+        argv = _sys.argv
+        _sys.argv = ["export", "ar", str(ck), str(out)]
+        try:
+            export_main()
+        finally:
+            _sys.argv = argv
+        blob = torch.load(str(out), map_location="cpu", weights_only=False)
+        assert blob["model"]["name"] == "larp_ar"
+        assert "layers.1.attention.wqkv.weight" in blob["model"]["sd"]
+        w = blob["model"]["sd"]["tok_embeddings.weight"]
+        np.testing.assert_array_equal(
+            w.numpy(), np.asarray(params["tok_embeddings"]["embedding"])
+        )
