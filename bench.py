@@ -237,6 +237,26 @@ def main():
         with open(_CPU_BASELINE_FILE) as f:
             baseline = json.load(f)["clips_per_s"]
 
+    # The axon tunnel has outage modes where backend init HANGS forever
+    # (jax.devices() never returns). A hung bench wedges the driver; a
+    # bounded failure with a parseable JSON line does not.
+    import threading
+
+    def _probe_timed_out():
+        print(json.dumps({
+            "metric": "tokenizer_encode_decode_throughput",
+            "value": 0.0, "unit": "clips/s/chip", "vs_baseline": None,
+            "error": "device probe timed out after 180s (axon tunnel outage)",
+        }), flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(180.0, _probe_timed_out)
+    watchdog.daemon = True
+    watchdog.start()
+    n_dev = len(jax.devices())  # may hang on a dead tunnel
+    watchdog.cancel()
+    assert n_dev >= 1
+
     clips_s = bench_tokenizer(batch_size=args.batch_size, iters=args.iters)
     flops_clip = tokenizer_flops_per_clip()
     achieved_tflops = clips_s * flops_clip / 1e12
