@@ -1,7 +1,13 @@
 #!/bin/bash
 # Reproduce the LARP tokenizer recipe (reference scripts/train_larp_tokenizer_reproduce.sh)
-# on TPU: one process per host drives all local chips (no mp.spawn); the global
-# batch is b * n_devices via the data mesh axis.
+# on TPU: one process per host drives all local chips (no mp.spawn). -b is the
+# GLOBAL batch in both frameworks (the reference divides by tot_gpus,
+# base_trainer.py:316; here it shards over the data mesh axis).
+# NOTE: the fork's copy of this script claims to reproduce
+# hywang66/LARP-L-long-tokenizer but overrides the model to d=512/depth-6 at
+# input 256 (its own experiment). This script keeps the actual LARP-L-long
+# flagship geometry (cfgs/larp_tokenizer.yaml defaults) that the claim, the
+# eval golden numbers, and BASELINE.md refer to.
 
 python3 train.py --cfg cfgs/larp_tokenizer.yaml \
     --manualSeed 66667 --tag default \
