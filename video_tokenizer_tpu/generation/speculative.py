@@ -23,6 +23,33 @@ Everything the single-model path supports rides along: CFG batch doubling
 (acceptance runs on the post-CFG guided distributions of BOTH models),
 frame-prediction prompts, emb_masks, bf16 or int8 KV caches (per model).
 `cfg_interval` is not supported (the cutoff index would differ per row).
+
+Performance accounting (v5e, 632M target + 60M draft, b=8+CFG, gamma=4,
+int8 KV, acceptance ~1.0 by construction in bench.py): measured 1881 tok/s
+vs 3623 tok/s for the plain 1-token loop — the machinery currently LOSES to
+the path it is meant to amortize. Microbenchmarks (2026-08-19, this chip)
+attribute the gap to the per-row cache writes and chunk reads that uneven
+row advance forces onto XLA:
+
+  * `_store_rows`' per-row scatter: 527 us per [16,1024,1280] bf16 buffer
+    (vs ~10 us for the plain loop's scalar-position dynamic_update_slice) —
+    XLA lowers both scatter and vmapped-DUS (597 us) and a hand-built
+    one-hot+select (572-618 us) as a full-cache rewrite, ~60 buffers per
+    iteration across target+draft layers.
+  * `xla_chunk_attention` reads the full padded cache every layer
+    (858 us/layer at S=1024 int8; a reformulated bf16 einsum measured
+    WORSE at 1026 us) where the Pallas decode kernel reads only the live
+    prefix.
+
+Fix direction (next): append-only log-structured caches — every iteration
+writes its G+1 rows at a SCALAR slot base shared by all batch rows (the
+cheap DUS path), rejected slots are never compacted but masked via the
+existing key_valid machinery, and slot order preserves causality so the
+scalar-pos Pallas decode kernel applies unchanged. Until then
+`sample.py --draft_model` is correct but slower than plain int8 decode at
+these geometries; it wins only when the target/draft cost ratio is far
+larger (e.g. XXXL targets) where weight traffic dominates the write
+overhead.
 """
 from __future__ import annotations
 
