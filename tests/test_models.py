@@ -687,6 +687,36 @@ class TestGPTCPrior:
         loss = m.apply(v, x, method=m.compute_prior_loss)
         assert np.isfinite(float(loss))
 
+    def test_gptc_incremental_decode(self):
+        """Cached decode_step == matching slice of the full forward — the
+        TPU-native form of the reference's (dead) layer_past path
+        (/root/reference/models/gptc.py:54-76)."""
+        from video_tokenizer_tpu.registry import models as models_reg
+
+        m = models_reg.make({
+            "name": "gptc",
+            "args": {"n_layer": 2, "n_head": 2, "n_embd": 32, "n_ind": 8,
+                     "max_seq_len": 16, "embd_pdrop": 0.0,
+                     "resid_pdrop": 0.0},
+        })
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 8))
+        v = m.init({"params": jax.random.PRNGKey(1)}, x)
+        full, _ = m.apply(v, x)  # [2, 10, 8]
+
+        cache = m.apply(v, 2, 16, method=m.init_cache)
+        # prefill the first 6 positions as one chunk, then step one by one
+        pred, cache = m.apply(v, x[:, :6], 0, cache, method=m.decode_step)
+        np.testing.assert_allclose(
+            np.asarray(pred), np.asarray(full[:, :6]), atol=1e-5
+        )
+        for t in range(6, 10):
+            pred, cache = m.apply(
+                v, x[:, t : t + 1], t, cache, method=m.decode_step
+            )
+            np.testing.assert_allclose(
+                np.asarray(pred), np.asarray(full[:, t : t + 1]), atol=1e-5
+            )
+
     def test_prior_with_fsq_bottleneck_rejected(self):
         model = tiny_tokenizer(
             bottleneck_type="fsq",

@@ -42,7 +42,13 @@ class GPTCBlock(nn.Module):
     config: GPTCConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False, lc=None, pos=None):
+        """Full causal forward (lc=None), or incremental KV-cached forward:
+        x is a [B, T, C] chunk whose first row sits at absolute position
+        `pos` (scalar int32); lc = {'k','v': [B, S, H, D]} is this layer's
+        cache, returned updated. Mirrors the reference's `layer_past` path
+        (/root/reference/models/gptc.py:54-76), which nothing there calls —
+        implemented here so the continuous prior can serve incrementally."""
         cfg = self.config
         B, T, C = x.shape
         h = nn.LayerNorm(name="ln1")(x)
@@ -53,7 +59,28 @@ class GPTCBlock(nn.Module):
         q, k, v = (
             t.reshape(B, T, cfg.n_head, hd) for t in (q, k, v)
         )
-        y = attention(q, k, v, causal=True).reshape(B, T, C)
+        if lc is None:
+            y = attention(q, k, v, causal=True).reshape(B, T, C)
+        else:
+            lc = dict(lc)
+            for name, rows in (("k", k), ("v", v)):
+                lc[name] = jax.lax.dynamic_update_slice(
+                    lc[name], rows.astype(lc[name].dtype), (0, pos, 0, 0)
+                )
+            S = lc["k"].shape[1]
+            q_pos = pos + jnp.arange(T)  # [T]
+            mask = jnp.arange(S)[None, :] <= q_pos[:, None]  # [T, S]
+            scores = jnp.einsum(
+                "bthd,bshd->bhts", q.astype(jnp.float32),
+                lc["k"].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * (hd ** -0.5)
+            scores = jnp.where(mask[None, None], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            y = jnp.einsum(
+                "bhts,bshd->bthd", probs, lc["v"].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype).reshape(B, T, C)
         y = nn.Dense(C, kernel_init=_init02, name="proj")(y)
         y = nn.Dropout(cfg.resid_pdrop, deterministic=not train)(y)
         x = x + y
@@ -62,7 +89,10 @@ class GPTCBlock(nn.Module):
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, kernel_init=_init02, name="mlp_proj")(h)
         h = nn.Dropout(cfg.resid_pdrop, deterministic=not train)(h)
-        return x + h
+        out = x + h
+        if lc is None:
+            return out
+        return out, lc
 
 
 class GPTC(nn.Module):
@@ -109,6 +139,43 @@ class GPTC(nn.Module):
             xin = jax.lax.stop_gradient(xin)
         _, loss = self(xin, targets=target, train=train)
         return loss
+
+    def init_cache(self, batch_size: int, max_seq_length: int,
+                   dtype=jnp.float32):
+        """Per-layer KV cache list for `decode_step` — the TPU-native form
+        of the reference's `layer_past` tuples (gptc.py:54-76)."""
+        cfg = self.config
+        hd = cfg.n_embd // cfg.n_head
+        return [
+            {
+                "k": jnp.zeros(
+                    (batch_size, max_seq_length, cfg.n_head, hd), dtype
+                ),
+                "v": jnp.zeros(
+                    (batch_size, max_seq_length, cfg.n_head, hd), dtype
+                ),
+            }
+            for _ in range(cfg.n_layer)
+        ]
+
+    def decode_step(self, x: jax.Array, pos, cache):
+        """Incremental forward: x [B, T, n_ind] chunk whose first row sits
+        at absolute position `pos` (scalar int32; T=1 for plain one-token
+        decode). Returns (pred [B, T, n_ind], updated cache). Equal to the
+        matching slice of the full `__call__` (pinned in
+        tests/test_models.py::test_gptc_incremental_decode)."""
+        h = self.input_proj(x)
+        T = h.shape[1]
+        pe = jax.lax.dynamic_slice_in_dim(
+            self.pos_emb[0], pos, T, axis=0
+        )
+        h = h + pe[None]
+        new_cache = []
+        for block, lc in zip(self.blocks, cache):
+            h, lc = block(h, lc=lc, pos=pos)
+            new_cache.append(lc)
+        pred = self.head(self.ln_f(h))
+        return pred, new_cache
 
     def ar_predict(self, x: jax.Array) -> jax.Array:
         xin = x[:, :-1]
