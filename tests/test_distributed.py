@@ -16,11 +16,15 @@ class TestMesh:
 
     def test_create_mesh_default(self):
         mesh = create_mesh()
-        assert mesh.shape == {"data": 8, "model": 1}
+        assert mesh.shape == {"data": 8, "seq": 1, "model": 1}
 
     def test_create_mesh_2d(self):
         mesh = create_mesh(MeshConfig(data=4, model=2))
-        assert mesh.shape == {"data": 4, "model": 2}
+        assert mesh.shape == {"data": 4, "seq": 1, "model": 2}
+
+    def test_create_mesh_seq_axis(self):
+        mesh = create_mesh(MeshConfig(data=2, seq=2, model=2))
+        assert mesh.shape == {"data": 2, "seq": 2, "model": 2}
 
     def test_bad_mesh_raises(self):
         with pytest.raises(ValueError):

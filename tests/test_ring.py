@@ -63,6 +63,41 @@ class TestRingAttention:
             assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+class TestRingSequenceContext:
+    """cfg `mesh_seq: N` — the ambient ring_sequence context reroutes plain
+    `ops.attention.attention` calls through the ring with no model changes."""
+
+    def test_ambient_context_matches_baseline_with_grads(self, qkv):
+        from video_tokenizer_tpu.ops.attention import attention
+        from video_tokenizer_tpu.parallel.ring import ring_sequence
+
+        q, k, v = qkv
+        mesh = create_mesh(MeshConfig(data=2, seq=4))
+
+        def loss(q, k, v):
+            return jnp.sum(attention(q, k, v, causal=True) ** 2)
+
+        base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        with ring_sequence(mesh):
+            # trace INSIDE the context (the routing bakes in at trace time)
+            ringed = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        for a, b in zip(ringed, base):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    def test_ineligible_call_falls_through(self, qkv):
+        """Segment-id attention cannot ring; the context must leave it on
+        the normal kernel rather than mis-sharding it."""
+        from video_tokenizer_tpu.ops.attention import attention
+        from video_tokenizer_tpu.parallel.ring import ring_sequence
+
+        q, k, v = qkv
+        seg = jnp.zeros((q.shape[0], q.shape[1]), jnp.int32)
+        mesh = create_mesh(MeshConfig(data=2, seq=4))
+        base = attention(q, k, v, segment_ids=seg)
+        with ring_sequence(mesh):
+            out = attention(q, k, v, segment_ids=seg)
+        assert np.allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
 def test_pallas_lse_custom_vjp_plumbing(monkeypatch):
     """attention_with_lse's Pallas path carries a custom VJP whose backward
     recomputes through the XLA (out, lse) attention — without it, ring

@@ -362,6 +362,27 @@ class TestARTrainer:
                 assert "model" in str(wqkv.sharding.spec)
         np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=2e-4)
 
+    def test_ring_trainer_matches_replicated(self, tmp_path):
+        """cfg `mesh_seq: 2`: ring-attention context parallelism on a
+        (data=4, seq=2) mesh reproduces the pure-DP loss trajectory — the
+        ambient ring_sequence context reroutes the model's attention calls
+        with no model changes (parallel/ring.py)."""
+        losses = {}
+        for name, over in (
+            ("dp", {}),
+            ("ring", {"mesh_seq": 2}),
+        ):
+            tr = _make_ar_trainer(_ar_cfg(tmp_path / name, **over))
+            traj = []
+            for _ in range(2):
+                traj.append(
+                    _fetch(tr.train_step(shard_batch(tr.mesh, _batch())))["loss"]
+                )
+            losses[name] = traj
+            if name == "ring":
+                assert tr.mesh.shape["seq"] == 2
+        np.testing.assert_allclose(losses["dp"], losses["ring"], rtol=2e-4)
+
     def test_grad_accum_matches_full_batch(self, tmp_path):
         """cfg `grad_accum_steps: 2`: two scanned microbatches per optimizer
         update reproduce the full-batch loss trajectory exactly (equal-size

@@ -46,6 +46,13 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # Production TPU runs leave it False (compiled Mosaic).
 _INTERPRET = False
 
+# ambient ring-attention context (set by parallel.ring.ring_sequence; the
+# threading.local lives HERE so ops.attention never imports parallel.ring
+# at module scope — ring imports this module)
+import threading as _threading  # noqa: E402
+
+_ring_ambient = _threading.local()
+
 
 def _pallas_call(*args, **kwargs):
     """pl.pallas_call with the module-level interpret switch applied."""
@@ -634,7 +641,25 @@ def attention(
     forfeit it). Returns [B,Sq,H,D].
 
     `use_pallas=None` auto-selects: Pallas on TPU, XLA elsewhere.
+
+    Inside a `parallel.ring.ring_sequence(mesh)` context (cfg `mesh_seq: N`),
+    eligible calls (self-attention, no segment ids, S divisible by the seq
+    axis) route through the ring-attention shard_map — context parallelism
+    without model changes.
     """
+    ring_cfg = getattr(_ring_ambient, "cfg", None)
+    if (
+        ring_cfg is not None
+        and segment_ids is None
+        and q.shape[1] == k.shape[1]
+        and q.shape[1] % ring_cfg.mesh.shape[ring_cfg.axis] == 0
+    ):
+        from ..parallel.ring import ring_attention_sharded
+
+        return ring_attention_sharded(
+            q, k, v, ring_cfg.mesh, ring_cfg.axis, causal=causal,
+            sm_scale=sm_scale, use_pallas=use_pallas,
+        )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:

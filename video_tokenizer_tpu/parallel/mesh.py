@@ -27,16 +27,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshConfig:
     data: int = -1  # -1: use all remaining devices
     model: int = 1
+    seq: int = 1  # ring-attention context parallelism (parallel/ring.py)
 
     def resolve(self, n_devices: Optional[int] = None):
         n = n_devices if n_devices is not None else jax.device_count()
         model = max(1, self.model)
-        data = self.data if self.data > 0 else n // model
-        if data * model != n:
+        seq = max(1, self.seq)
+        data = self.data if self.data > 0 else n // (model * seq)
+        if data * seq * model != n:
             raise ValueError(
-                f"mesh {data}x{model} does not cover {n} devices"
+                f"mesh {data}x{seq}x{model} does not cover {n} devices"
             )
-        return data, model
+        return data, seq, model
 
 
 def slice_count(devices: Sequence[jax.Device]) -> int:
@@ -63,24 +65,24 @@ def create_mesh(
     recipe; the reference is single-node NCCL and has no analogue."""
     config = config or MeshConfig()
     devices = list(devices) if devices is not None else jax.devices()
-    data, model = config.resolve(len(devices))
+    data, seq, model = config.resolve(len(devices))
     n_slices = slice_count(devices)
     if n_slices > 1:
         if data % n_slices:
             raise ValueError(
                 f"data axis {data} must be a multiple of the {n_slices} "
-                "slices (model/pipe axes cannot span DCN)"
+                "slices (model/pipe/seq axes cannot span DCN)"
             )
         from jax.experimental import mesh_utils
 
         dev_array = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(data // n_slices, model),
-            dcn_mesh_shape=(n_slices, 1),
+            mesh_shape=(data // n_slices, seq, model),
+            dcn_mesh_shape=(n_slices, 1, 1),
             devices=devices,
         )
-        return Mesh(dev_array, axis_names=("data", "model"))
-    dev_array = np.array(devices).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+        return Mesh(dev_array, axis_names=("data", "seq", "model"))
+    dev_array = np.array(devices).reshape(data, seq, model)
+    return Mesh(dev_array, axis_names=("data", "seq", "model"))
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:

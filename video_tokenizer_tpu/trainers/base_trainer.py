@@ -86,16 +86,20 @@ class BaseTrainer:
         # Default is the reference-equivalent pure-DP layout (SURVEY.md §2.3).
         n_model = int(cfg.get("mesh_model", 1))
         n_pipe = int(cfg.get("mesh_pipe", 1))
+        n_seq = int(cfg.get("mesh_seq", 1))
         if n_pipe > 1:
-            if n_model > 1:
-                raise ValueError("mesh_model and mesh_pipe are exclusive")
+            if n_model > 1 or n_seq > 1:
+                raise ValueError("mesh_pipe excludes mesh_model/mesh_seq")
             from ..parallel.pp import create_pp_mesh
 
             self.mesh = create_pp_mesh(
                 data=jax.device_count() // n_pipe, pipe=n_pipe
             )
         else:
-            self.mesh = create_mesh(MeshConfig(model=n_model))
+            # cfg `mesh_seq: N` adds ring-attention context parallelism
+            # (parallel/ring.py): sequences shard over the 'seq' axis and
+            # every eligible attention call rings over ICI
+            self.mesh = create_mesh(MeshConfig(model=n_model, seq=n_seq))
         self.save_dir = cfg.get("save_dir", cfg.get("out_path", "save/run"))
         if self.is_master:
             common.ensure_path(self.save_dir)
@@ -434,15 +438,20 @@ class BaseTrainer:
         call is a no-op afterwards. Honored by any model whose blocks call
         parallel.tp.seq_constraint (the AR trunk and the tokenizer ViT
         stacks)."""
+        import contextlib
+
+        stack = contextlib.ExitStack()
         if bool(self.cfg.get("sequence_parallel", False)) and (
             self.mesh.shape.get("model", 1) > 1
         ):
             from ..parallel.tp import sequence_parallel
 
-            return sequence_parallel(self.mesh)
-        import contextlib
+            stack.enter_context(sequence_parallel(self.mesh))
+        if self.mesh.shape.get("seq", 1) > 1:
+            from ..parallel.ring import ring_sequence
 
-        return contextlib.nullcontext()
+            stack.enter_context(ring_sequence(self.mesh))
+        return stack
 
     def _maybe_preempt(self):
         """Checkpoint + clean-exit if a SIGTERM flag is pending. Called at
