@@ -39,17 +39,34 @@ def main():
     ap.add_argument("--no-sample", action="store_true",
                     help="replace CFG+top-k sampling with argmax (isolates "
                          "the sampling cost inside the fixed per-step time)")
+    ap.add_argument("--kv-heads", type=int, default=None,
+                    help="GQA: n_kv_head (default MHA = n_head)")
+    ap.add_argument("--block-s", type=int, default=None,
+                    help="override the decode kernel's S block size")
+    ap.add_argument("--batch-chunk", type=int, default=None,
+                    help="override the decode kernel's per-program batch rows")
     args = ap.parse_args()
 
     from video_tokenizer_tpu.models.larp_ar import (
         LARP_AR, ModelArgs, quantize_params,
     )
 
+    if args.block_s or args.batch_chunk:
+        import functools
+
+        import video_tokenizer_tpu.models.larp_ar as L
+
+        L.decode_attention = functools.partial(
+            L.decode_attention, block_s=args.block_s,
+            batch_chunk=args.batch_chunk,
+        )
+
     # llama-abs-LP geometry, same as bench.py's serving workload
     cfg = ModelArgs(
         n_layer=30, n_head=20, dim=1280, vocab_size=8192, num_classes=101,
         max_seq_len=1024, token_dropout_p=0.0, resid_dropout_p=0.0,
         ffn_dropout_p=0.0, class_dropout_prob=0.0,
+        n_kv_head=args.kv_heads,
     )
     model = LARP_AR(cfg)
     B = args.batch * 2  # CFG doubles the decode batch
@@ -125,10 +142,13 @@ def main():
     n_layer, dim = cfg.n_layer, cfg.dim
     wbytes = 1 if args.int8 else 2
     cbytes = 1 if args.int8_kv else 2
-    proj_params = n_layer * (4 * dim * dim + 3 * dim * 3456) \
+    hd = dim // cfg.n_head
+    nkv = cfg.n_kv_head or cfg.n_head
+    qkv_out = (cfg.n_head + 2 * nkv) * hd
+    proj_params = n_layer * (dim * qkv_out + dim * dim + 3 * dim * 3456) \
         + dim * cfg.vocab_size
     weight_gb = proj_params * wbytes / 1e9
-    kv_gb_per_pos = B * n_layer * 2 * dim * cbytes / 1e9
+    kv_gb_per_pos = B * n_layer * 2 * nkv * hd * cbytes / 1e9
 
     print(f"\nfit: t_fixed = {t_fixed * 1e3:.3f} ms, "
           f"kv_rate = {kv_rate * 1e6:.3f} us/pos")
