@@ -1,14 +1,23 @@
 #!/bin/sh
-# Install the pre-commit smoke gate (scripts/smoke.py): no commit can land
-# if the package fails to import or a tiny jit breaks.
+# Install the pre-commit gate: smoke (import + tiny jit + dead-module scan)
+# plus the fast test tier (`pytest -m "not slow"`, <5 min — slow tests are
+# auto-marked from tests/durations.json). Set SKIP_GATE=1 to skip the test
+# tier for a commit when it has just been run by hand on the same tree.
 set -e
 repo_root="$(git rev-parse --show-toplevel)"
 hook="$repo_root/.git/hooks/pre-commit"
 cat > "$hook" <<'EOF'
 #!/bin/sh
-# smoke gate: import every module + jit a tiny AR decode and tokenizer fwd
+# gate 1: import every module + jit a tiny AR decode and tokenizer fwd +
+# fail on dead package modules
 cd "$(git rev-parse --show-toplevel)"
-exec timeout 300 python scripts/smoke.py
+timeout 300 python scripts/smoke.py || exit 1
+# gate 2: fast test tier (<5 min; slow tests excluded via tests/durations.json)
+if [ -n "$SKIP_GATE" ]; then
+  echo "pre-commit: SKIP_GATE set, skipping the test tier"
+  exit 0
+fi
+exec timeout 600 python -m pytest tests/ -m "not slow" -q
 EOF
 chmod +x "$hook"
 echo "installed $hook"

@@ -86,7 +86,59 @@ def main():
         x, train=False,
     )[0]
     assert out["pred_frames"].shape == x.shape
-    print(f"smoke OK ({n} registry entries)")
+
+    # 4. no dead package modules: every module under video_tokenizer_tpu/
+    # must be imported by at least one NON-TEST source file (round 2 landed
+    # ops/cache_update.py with zero importers and zero tests — this makes
+    # that class of commit impossible)
+    dead = find_dead_modules()
+    assert not dead, f"package modules with no importer outside tests: {dead}"
+    print(f"smoke OK ({n} registry entries, no dead modules)")
+
+
+def find_dead_modules():
+    """Package modules (video_tokenizer_tpu/**/*.py) that no non-test source
+    file imports. Matches both absolute (`video_tokenizer_tpu.ops.foo`) and
+    relative (`from .foo import`, `from ..ops.foo import`) spellings."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "video_tokenizer_tpu")
+    sources = {}  # path -> text, for all candidate importers
+    for base in ("video_tokenizer_tpu", "tools", "scripts", "eval", "."):
+        d = os.path.join(root, base)
+        if not os.path.isdir(d):
+            continue
+        walk = os.walk(d) if base != "." else [(root, [], [
+            f for f in os.listdir(root) if f.endswith(".py")
+        ])]
+        for dirpath, _, files in walk:
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(dirpath, f)
+                    if os.path.samefile(p, os.path.abspath(__file__)):
+                        continue  # smoke's own eager imports don't count
+                    with open(p, encoding="utf-8") as fh:
+                        sources[p] = fh.read()
+
+    dead = []
+    for dirpath, _, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py") or f == "__init__.py":
+                continue
+            mod_path = os.path.join(dirpath, f)
+            rel = os.path.relpath(mod_path, root)[:-3].replace(os.sep, ".")
+            stem = f[:-3]
+            pat = re.compile(
+                r"(?:from|import)\s+[\w.]*\b" + re.escape(stem) + r"\b"
+            )
+            if not any(
+                pat.search(text)
+                for p, text in sources.items()
+                if p != mod_path
+            ):
+                dead.append(rel)
+    return dead
 
 
 if __name__ == "__main__":

@@ -28,8 +28,33 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+import json  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# --------------------------------------------------------------- test tiers
+# tests/durations.json (regenerate: tools/update_test_durations.py) records
+# measured per-test wall times on this 1-core box; anything over the
+# threshold is auto-marked `slow`. Gate tier = `pytest -m "not slow"`
+# (<5 min, the pre-commit hook); full suite runs at round boundaries.
+# Unmeasured (new) tests default to the fast tier until the ledger is
+# regenerated.
+_SLOW_THRESHOLD_S = float(os.environ.get("GATE_SLOW_THRESHOLD", "5.0"))
+
+
+def pytest_collection_modifyitems(config, items):
+    ledger_path = os.path.join(os.path.dirname(__file__), "durations.json")
+    try:
+        with open(ledger_path, encoding="utf-8") as f:
+            ledger = json.load(f)
+    except OSError:
+        return
+    for item in items:
+        test_id = "tests/" + item.nodeid.split("tests/")[-1] \
+            if "tests/" in item.nodeid else "tests/" + item.nodeid
+        if ledger.get(test_id, 0.0) >= _SLOW_THRESHOLD_S:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")

@@ -151,5 +151,5 @@ class TestHybridMesh:
         from video_tokenizer_tpu.parallel.mesh import MeshConfig, create_mesh
 
         mesh = create_mesh(MeshConfig(data=4, model=2))
-        assert mesh.shape == {"data": 4, "model": 2}
+        assert mesh.shape == {"data": 4, "seq": 1, "model": 2}
         assert list(np.asarray(mesh.devices).reshape(-1)) == jax.devices()
