@@ -18,10 +18,12 @@ import numpy as np
 import pytest
 
 import video_tokenizer_tpu.ops.attention  # noqa: F401  (registers module)
+import video_tokenizer_tpu.ops.cache_update  # noqa: F401
 import video_tokenizer_tpu.ops.decode_attention  # noqa: F401
 import video_tokenizer_tpu.ops.vq  # noqa: F401
 
 _ATT = sys.modules["video_tokenizer_tpu.ops.attention"]
+_CU = sys.modules["video_tokenizer_tpu.ops.cache_update"]
 _DEC = sys.modules["video_tokenizer_tpu.ops.decode_attention"]
 _VQ = sys.modules["video_tokenizer_tpu.ops.vq"]
 
@@ -122,6 +124,124 @@ class TestDecodeAttentionInterpret:
                 np.asarray(got, np.float32), np.asarray(want, np.float32),
                 atol=5e-2,
             )
+
+
+class TestChunkAttentionInterpret:
+    """G-token per-row-position verification attention (speculative
+    decoding). Positions are uneven across rows; parity vs the XLA einsum."""
+
+    @pytest.mark.parametrize("rep", [1, 3])
+    @pytest.mark.parametrize("with_valid", [False, True])
+    def test_matches_xla(self, rep, with_valid):
+        rng = np.random.RandomState(5)
+        B, S, Hkv, D, G = 8, 256, 2, 64, 5
+        H = Hkv * rep
+        q = jnp.asarray(rng.randn(B, G, H, D), jnp.float32)
+        kc = jnp.asarray(rng.randn(B, S, Hkv * D), jnp.float32)
+        vc = jnp.asarray(rng.randn(B, S, Hkv * D), jnp.float32)
+        pos = jnp.asarray(
+            rng.randint(0, S - G, size=(B,)), jnp.int32
+        ).at[0].set(0).at[1].set(S - G)
+        kv = None
+        if with_valid:
+            kv = jnp.asarray(rng.rand(B, S) > 0.3)
+        got = _DEC.chunk_attention(q, kc, vc, pos, key_valid=kv,
+                                   use_pallas=True)
+        want = _DEC.xla_chunk_attention(q, kc, vc, pos, key_valid=kv)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2
+        )
+
+    def test_int8_scale_planes(self):
+        rng = np.random.RandomState(6)
+        B, S, Hkv, rep, D, G = 8, 256, 2, 2, 64, 4
+        H = Hkv * rep
+        q = jnp.asarray(rng.randn(B, G, H, D), jnp.bfloat16)
+        kf = jnp.asarray(rng.randn(B, S, Hkv * D), jnp.float32)
+        vf = jnp.asarray(rng.randn(B, S, Hkv * D), jnp.float32)
+        kq8, ks = _DEC._quantize_rows(kf)
+        vq8, vs = _DEC._quantize_rows(vf)
+        ksp = jnp.zeros((S, 128), jnp.float32).at[:, :B].set(ks.T)
+        vsp = jnp.zeros((S, 128), jnp.float32).at[:, :B].set(vs.T)
+        pos = jnp.asarray(rng.randint(0, S - G, size=(B,)), jnp.int32)
+        got = _DEC.chunk_attention(
+            q, kq8, vq8, pos, k_scale=ksp, v_scale=vsp, use_pallas=True
+        )
+        want = _DEC.xla_chunk_attention(
+            q, kq8, vq8, pos, k_scale=ksp, v_scale=vsp
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=5e-2,
+        )
+
+
+class TestCacheUpdateInterpret:
+    """Per-row KV-cache row writes (ops/cache_update.py, the speculative-
+    decoding store path). Positions are deliberately NOT 32-aligned and
+    straddle window boundaries; for int8 the [S, 128] scale-plane windows
+    of different batch rows OVERLAP — the sequential-grid RMW invariant the
+    kernel relies on."""
+
+    def _mk(self, dtype, B=8, S=256, KV=128, G=3, quantized=False):
+        rng = np.random.RandomState(3)
+        lc = {
+            "k": jnp.zeros((B, S, KV), dtype),
+            "v": jnp.zeros((B, S, KV), dtype),
+        }
+        if quantized:
+            lc["ks"] = jnp.zeros((S, 128), jnp.float32)
+            lc["vs"] = jnp.zeros((S, 128), jnp.float32)
+        rows_k = jnp.asarray(rng.randn(B, G, KV), jnp.float32)
+        rows_v = jnp.asarray(rng.randn(B, G, KV), jnp.float32)
+        # uneven, unaligned, adjacent (overlapping scale-plane windows)
+        pos = jnp.asarray(
+            rng.randint(0, S - G, size=(B,)), jnp.int32
+        ).at[0].set(0).at[1].set(S - G).at[2].set(31).at[3].set(33)
+        return lc, rows_k, rows_v, pos
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_rows_match_xla(self, dtype):
+        lc, rk, rv, pos = self._mk(dtype)
+        got = _CU.write_rows_per_row(lc, rk, rv, pos, use_pallas=True)
+        want = _CU.write_rows_per_row(lc, rk, rv, pos, use_pallas=False)
+        for name in ("k", "v"):
+            np.testing.assert_allclose(
+                np.asarray(got[name], np.float32),
+                np.asarray(want[name], np.float32),
+            )
+
+    def test_int8_scale_planes_match_xla(self):
+        lc, rk, rv, pos = self._mk(jnp.int8, quantized=True)
+        got = _CU.write_rows_per_row(lc, rk, rv, pos, use_pallas=True)
+        want = _CU.write_rows_per_row(lc, rk, rv, pos, use_pallas=False)
+        for name in ("k", "v", "ks", "vs"):
+            np.testing.assert_array_equal(
+                np.asarray(got[name]), np.asarray(want[name]), err_msg=name
+            )
+
+    def test_existing_rows_preserved(self):
+        """The windowed RMW must not clobber neighbours of the G rows."""
+        rng = np.random.RandomState(4)
+        lc, rk, rv, pos = self._mk(jnp.float32)
+        lc = {k: jnp.asarray(rng.randn(*v.shape), v.dtype)
+              for k, v in lc.items()}
+        got = _CU.write_rows_per_row(lc, rk, rv, pos, use_pallas=True)
+        want = _CU.write_rows_per_row(lc, rk, rv, pos, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got["k"]), np.asarray(want["k"]))
+        np.testing.assert_allclose(np.asarray(got["v"]), np.asarray(want["v"]))
+
+    def test_b_over_128_quantized_rejected(self):
+        lc = {
+            "k": jnp.zeros((130, 256, 128), jnp.int8),
+            "v": jnp.zeros((130, 256, 128), jnp.int8),
+            "ks": jnp.zeros((256, 128), jnp.float32),
+            "vs": jnp.zeros((256, 128), jnp.float32),
+        }
+        rows = jnp.zeros((130, 2, 128), jnp.float32)
+        pos = jnp.zeros((130,), jnp.int32)
+        with pytest.raises(ValueError, match="128"):
+            _CU.write_rows_per_row(lc, rows, rows, pos)
 
 
 class TestVQInterpret:

@@ -133,8 +133,29 @@ def check_chunk(quantized, B=16, S=1024, H=20, D=64, G=5):
           f"({t_x / t_pl:4.1f}x)")
 
 
+def check_control(B=16, S=1024, KV=1280, G=5):
+    """Control: the plain loop's scalar-position dynamic_update_slice in the
+    SAME chained-fori harness. If this also measures hundreds of us, the
+    harness (loop-carry copies) is being measured, not the ops."""
+    rng = np.random.RandomState(0)
+    k = jnp.asarray(rng.randn(B, S, KV), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, S, KV), jnp.bfloat16)
+    rows = jnp.asarray(rng.randn(B, G, KV), jnp.bfloat16)
+
+    def step(i, carry):
+        k, v = carry
+        p = i % (S - G)
+        k = jax.lax.dynamic_update_slice(k, rows, (0, p, 0))
+        v = jax.lax.dynamic_update_slice(v, rows, (0, p, 0))
+        return (k, v)
+
+    t = timeit_chained(step, (k, v))
+    print(f"control[scalar-pos DUS]: {t:8.1f} us")
+
+
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
+    check_control()
     check_rows(jnp.bfloat16, False)
     check_rows(jnp.int8, True)
     check_chunk(False)

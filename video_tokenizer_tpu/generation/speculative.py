@@ -24,32 +24,26 @@ Everything the single-model path supports rides along: CFG batch doubling
 frame-prediction prompts, emb_masks, bf16 or int8 KV caches (per model).
 `cfg_interval` is not supported (the cutoff index would differ per row).
 
-Performance accounting (v5e, 632M target + 60M draft, b=8+CFG, gamma=4,
-int8 KV, acceptance ~1.0 by construction in bench.py): measured 1881 tok/s
-vs 3623 tok/s for the plain 1-token loop — the machinery currently LOSES to
-the path it is meant to amortize. Microbenchmarks (2026-08-19, this chip)
-attribute the gap to the per-row cache writes and chunk reads that uneven
-row advance forces onto XLA:
+Performance: the two costs that made round 2's version LOSE to the plain
+loop (1884 vs 3660 tok/s int8-KV) were XLA's handling of the per-row
+uneven advance — (a) the per-row cache-row scatter lowers as a full-cache
+rewrite (~560 us per k+v layer pair of [16,1024,1280] bf16 buffers even
+inside a fori_loop), and (b) `xla_chunk_attention` reads the whole padded
+cache every layer. Both are now Pallas kernels built latency-first (the
+loop is DMA-latency bound, not bandwidth bound — measured with
+tools/check_cache_update_tpu.py):
 
-  * `_store_rows`' per-row scatter: 527 us per [16,1024,1280] bf16 buffer
-    (vs ~10 us for the plain loop's scalar-position dynamic_update_slice) —
-    XLA lowers both scatter and vmapped-DUS (597 us) and a hand-built
-    one-hot+select (572-618 us) as a full-cache rewrite, ~60 buffers per
-    iteration across target+draft layers.
-  * `xla_chunk_attention` reads the full padded cache every layer
-    (858 us/layer at S=1024 int8; a reformulated bf16 einsum measured
-    WORSE at 1026 us) where the Pallas decode kernel reads only the live
-    prefix.
+  * `ops/cache_update.write_rows_per_row` batches all rows' tile-aligned
+    window DMAs in flight per program and overwrites the G target sublanes
+    with fused vector selects (O(WL*KV) bytes per row vs O(S*KV) per
+    buffer).
+  * `ops/decode_attention.chunk_attention` fetches only the live-prefix
+    cache blocks (per-row positions via scalar prefetch), with bf16
+    temporaries so blocks are large and the pipeline is short.
 
-Fix direction (next): append-only log-structured caches — every iteration
-writes its G+1 rows at a SCALAR slot base shared by all batch rows (the
-cheap DUS path), rejected slots are never compacted but masked via the
-existing key_valid machinery, and slot order preserves causality so the
-scalar-pos Pallas decode kernel applies unchanged. Until then
-`sample.py --draft_model` is correct but slower than plain int8 decode at
-these geometries; it wins only when the target/draft cost ratio is far
-larger (e.g. XXXL targets) where weight traffic dominates the write
-overhead.
+bench.py carries three lines: the acceptance~1.0 mechanical ceiling,
+a measured sub-1.0 acceptance point (sharpened independent heads), and
+self-speculative early-exit drafting (`--self_draft_layers`).
 """
 from __future__ import annotations
 

@@ -236,40 +236,32 @@ class Attention(nn.Module):
 
     def _store_rows(self, lc, rows_k, rows_v, pos):
         """Write [B, G, KV] K/V rows at PER-ROW positions pos[b] + g (rows
-        advance unevenly under speculative decoding). Scatter-based — one
-        XLA scatter per buffer instead of `_store`'s dynamic_update_slice,
-        since each batch row targets a different cache offset."""
-        B, G, _ = rows_k.shape
-        bidx = jnp.arange(B)[:, None]  # [B, 1]
-        pidx = pos[:, None] + jnp.arange(G)[None, :]  # [B, G]
-        out = dict(lc)
-        for name, sname, rows in (("k", "ks", rows_k), ("v", "vs", rows_v)):
-            if sname in lc:
-                q8, scale = _quantize_rows(rows)
-                out[name] = lc[name].at[bidx, pidx].set(q8)
-                out[sname] = lc[sname].at[pidx, bidx].set(
-                    scale.astype(lc[sname].dtype)
-                )
-            else:
-                out[name] = lc[name].at[bidx, pidx].set(
-                    rows.astype(lc[name].dtype)
-                )
-        return out
+        advance unevenly under speculative decoding). On TPU this is the
+        Pallas windowed-DMA kernel (ops/cache_update.py) — XLA lowers the
+        equivalent scatter as a full-cache rewrite (~527 us per [16,1024,
+        1280] bf16 buffer, ~60 buffers/iter across target+draft layers,
+        measured v5e), which alone made speculative decoding lose to the
+        plain loop. Tiny/CPU geometries fall back to the XLA scatter inside
+        `write_rows_per_row`."""
+        from ..ops.cache_update import write_rows_per_row
+
+        return write_rows_per_row(lc, rows_k, rows_v, pos)
 
     def decode_chunk(self, x, pos, lc, key_valid=None):
         """G-token decode (speculative verification): x [B, G, dim] chunk
         hidden states, the g-th at absolute position pos[b] + g (pos: [B]
         int32). Writes the chunk's K/V at per-row positions, then attends
         each chunk token causally over the live prefix + earlier chunk
-        tokens (ops.decode_attention.xla_chunk_attention)."""
-        from ..ops.decode_attention import xla_chunk_attention
+        tokens (ops.decode_attention.chunk_attention — live-prefix Pallas
+        kernel on TPU, XLA einsum fallback elsewhere)."""
+        from ..ops.decode_attention import chunk_attention
 
         B, G, _ = x.shape
         q, k, v = self._split_qkv(x)
         lc = self._store_rows(
             lc, k.reshape(B, G, -1), v.reshape(B, G, -1), pos
         )
-        out = xla_chunk_attention(
+        out = chunk_attention(
             q, lc["k"], lc["v"], pos, key_valid=key_valid,
             k_scale=lc.get("ks"), v_scale=lc.get("vs"),
         )

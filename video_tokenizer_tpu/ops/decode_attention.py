@@ -313,6 +313,304 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     )
 
 
+def _chunk_kernel(
+    pos_ref,  # scalar prefetch: [B] int32 per-row position of chunk token 0
+    q_ref,  # [rep, bc, G, KV] VMEM — G chunk queries per batch row
+    pos2d_ref,  # [bc, 128] int32 VMEM — pos broadcast along lanes (the mask
+    #             needs pos as a VECTOR per sublane-row; scalar-prefetch
+    #             values can't be assembled into one on TPU)
+    k_hbm,  # [B, S, KV] ANY
+    v_hbm,  # [B, S, KV] ANY
+    *rest,  # [bias_hbm], [ks_hbm, vs_hbm], o_ref, scratch (as _decode_kernel)
+    sm_scale: float,
+    block_s: int,
+    head_dim: int,
+    rep: int,
+    bc: int,
+    G: int,
+    quantized: bool,
+    has_bias: bool,
+):
+    """G-token verification attention (speculative decoding) with the same
+    live-prefix DMA pipeline as `_decode_kernel`: only ceil((max_pos + G) /
+    block_s) cache blocks are fetched, vs the XLA path's full padded cache.
+    Query g of batch row b attends to cache slots <= pos[b] + g. The g loop
+    is a static Python unroll (G is small): each step is exactly the
+    single-token kernel's selector-matmul score/update on the SAME DMA'd
+    K/V block, so VMEM stays flat in G."""
+    rest = list(rest)
+    bias_hbm = rest.pop(0) if has_bias else None
+    if quantized:
+        ks_hbm, vs_hbm = rest.pop(0), rest.pop(0)
+    else:
+        ks_hbm = vs_hbm = None
+    o_ref, k_buf, v_buf = rest.pop(0), rest.pop(0), rest.pop(0)
+    b_buf = rest.pop(0) if has_bias else None
+    if quantized:
+        ks_buf, vs_buf = rest.pop(0), rest.pop(0)
+    else:
+        ks_buf = vs_buf = None
+    k_sem, v_sem = rest.pop(0), rest.pop(0)
+    b_sem = rest.pop(0) if has_bias else None
+    if quantized:
+        ks_sem, vs_sem = rest.pop(0), rest.pop(0)
+    else:
+        ks_sem = vs_sem = None
+    assert not rest, len(rest)
+
+    off = pl.program_id(0) * bc
+    b_slice = pl.ds(off, bc)
+    # this program's live blocks: the largest key any of its rows/queries
+    # may attend to is max(pos) + G - 1
+    pmax = pos_ref[off]
+    for i in range(1, bc):
+        pmax = jnp.maximum(pmax, pos_ref[off + i])
+    nb = (pmax + G - 1) // block_s + 1
+    pvec = pos2d_ref[:, :1]  # [bc, 1] per-row chunk base position
+
+    pick = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, bc), 0)
+        == off + jax.lax.broadcasted_iota(jnp.int32, (128, bc), 1)
+    ).astype(jnp.float32)
+
+    def pick_lanes(plane):  # [block_s, 128] -> [bc, block_s]
+        return jnp.swapaxes(
+            jax.lax.dot_general(
+                plane, pick, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            0, 1,
+        )
+
+    def kv_copy(j, slot):
+        s_slice = pl.ds(j * block_s, block_s)
+        copies = [
+            pltpu.make_async_copy(
+                k_hbm.at[b_slice, s_slice], k_buf.at[slot], k_sem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[b_slice, s_slice], v_buf.at[slot], v_sem.at[slot]
+            ),
+        ]
+        if has_bias:
+            copies.append(pltpu.make_async_copy(
+                bias_hbm.at[s_slice], b_buf.at[slot], b_sem.at[slot]
+            ))
+        if quantized:
+            copies += [
+                pltpu.make_async_copy(
+                    ks_hbm.at[s_slice], ks_buf.at[slot], ks_sem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    vs_hbm.at[s_slice], vs_buf.at[slot], vs_sem.at[slot]
+                ),
+            ]
+        return copies
+
+    for c in kv_copy(0, 0):
+        c.start()
+
+    KV = k_buf.shape[-1]
+    H = KV // head_dim
+    # bf16 for the VMEM giants — q, the dequantized K/V blocks, the
+    # [rep*bc*block_s, KV] qk product and probs broadcast — so block_s can
+    # be 4x the fp32 version's under the same VMEM (fewer latency-bound
+    # pipeline iterations; this loop measured DMA-latency-bound, not
+    # bandwidth-bound). The selector dots still accumulate fp32 on the MXU
+    # and the [.., H]-narrow softmax statistics stay fp32.
+    q = q_ref[...].astype(jnp.bfloat16)  # [rep, bc, G, KV]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (KV, H), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (KV, H), 1)
+    sel = (lane // head_dim == head).astype(jnp.float32)  # [KV, H]
+    sel16 = sel.astype(jnp.bfloat16)
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry  # each [G, rep, bc, ...] stacked over g
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < nb)
+        def _prefetch():
+            for c in kv_copy(j + 1, 1 - slot):
+                c.start()
+
+        for c in kv_copy(j, slot):
+            c.wait()
+        k = k_buf[slot].astype(jnp.bfloat16)  # [bc, block_s, KV]
+        v = v_buf[slot].astype(jnp.bfloat16)
+        if quantized:
+            ks = pick_lanes(ks_buf[slot])[:, :, None]
+            vs = pick_lanes(vs_buf[slot])[:, :, None]
+            k = k * ks.astype(jnp.bfloat16)
+            v = v * vs.astype(jnp.bfloat16)
+
+        k_pos = j * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, block_s, 1), 2
+        )
+        bias = pick_lanes(b_buf[slot])[None, :, :, None] if has_bias else None
+
+        m_out, l_out, acc_out = [], [], []
+        for g in range(G):
+            qg = q[:, :, g, :]  # [rep, bc, KV]
+            qk = qg[:, :, None, :] * k[None]  # [rep, bc, block_s, KV] bf16
+            s = jax.lax.dot_general(
+                qk.reshape(rep * bc * block_s, KV), sel16,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(rep, bc, block_s, H) * sm_scale
+            if has_bias:
+                s = s + bias
+            # causal per row: key position <= pos[b] + g
+            limit = (pvec + g)[None, :, :, None]  # [1, bc, 1, 1]
+            s = jnp.where(k_pos <= limit, s, DEFAULT_MASK_VALUE)
+
+            m_cur = jnp.max(s, axis=2, keepdims=True)
+            m_new = jnp.maximum(m_prev[g], m_cur)
+            alpha = jnp.exp(m_prev[g] - m_new)
+            p = jnp.exp(s - m_new)
+            l_out.append(l_prev[g] * alpha + jnp.sum(p, axis=2, keepdims=True))
+            m_out.append(m_new)
+            pb = jax.lax.dot_general(
+                p.astype(jnp.bfloat16).reshape(rep * bc * block_s, H), sel16,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,  # Mosaic: acc must be 32-bit
+            ).astype(jnp.bfloat16).reshape(rep, bc, block_s, KV)
+            # bf16 products, fp32 accumulation over the block_s dim
+            pv = jnp.sum(pb * v[None], axis=2, dtype=jnp.float32)
+            alpha_full = jax.lax.dot_general(
+                alpha[:, :, 0].reshape(rep * bc, H), sel,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(rep, bc, KV)
+            acc_out.append(acc[g] * alpha_full + pv)
+        return (jnp.stack(m_out), jnp.stack(l_out), jnp.stack(acc_out))
+
+    m0 = jnp.full((G, rep, bc, 1, H), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((G, rep, bc, 1, H), jnp.float32)
+    acc0 = jnp.zeros((G, rep, bc, KV), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    l_full = jax.lax.dot_general(
+        l[:, :, :, 0].reshape(G * rep * bc, H), sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, rep, bc, KV)
+    # o layout [rep, bc, G, KV] to match q
+    o = jnp.transpose(acc / l_full, (1, 2, 0, 3))
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _pallas_chunk(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
+                  head_dim, bc, k_scale=None, v_scale=None):
+    B, G, H, D = q.shape
+    S, KV = k_cache.shape[1], k_cache.shape[2]
+    rep = (H * D) // KV
+    quantized = k_scale is not None
+    pos = jnp.asarray(pos, jnp.int32).reshape(B)
+    # [rep, B, G, KV] query layout (GQA rep folded out, as _pallas_decode)
+    q_in = q.reshape(B, G, KV // D, rep, D).transpose(3, 0, 1, 2, 4).reshape(
+        rep, B, G, KV
+    )
+    pos2d = jnp.broadcast_to(pos[:, None], (B, 128))
+    has_bias = key_valid is not None
+    if has_bias:
+        bias = jnp.pad(
+            jnp.where(key_valid, 0.0, DEFAULT_MASK_VALUE).T,
+            ((0, 0), (0, 128 - B)),
+        )
+
+    n_hbm = 2 + int(has_bias) + (2 if quantized else 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bc,),
+        in_specs=[
+            pl.BlockSpec((rep, bc, G, KV), lambda i, pos_ref: (0, i, 0, 0)),
+            pl.BlockSpec((bc, 128), lambda i, pos_ref: (i, 0)),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_hbm,
+        out_specs=pl.BlockSpec(
+            (rep, bc, G, KV), lambda i, pos_ref: (0, i, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bc, block_s, KV), k_cache.dtype),
+            pltpu.VMEM((2, bc, block_s, KV), v_cache.dtype),
+        ]
+        + ([pltpu.VMEM((2, block_s, 128), jnp.float32)] if has_bias else [])
+        + ([pltpu.VMEM((2, block_s, 128), jnp.float32)] * 2 if quantized
+           else [])
+        + [pltpu.SemaphoreType.DMA((2,))] * (n_hbm),
+    )
+    kernel = functools.partial(
+        _chunk_kernel, sm_scale=sm_scale, block_s=block_s,
+        head_dim=head_dim, rep=rep, bc=bc, G=G, quantized=quantized,
+        has_bias=has_bias,
+    )
+    operands = [pos, q_in, pos2d, k_cache, v_cache]
+    if has_bias:
+        operands.append(bias)
+    if quantized:
+        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+    out = _pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rep, B, G, KV), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # bf16 temps put the big-block working set ~40 MB at the bench
+            # geometry; the 16 MB default scoped limit is for pipelining
+            # many small kernels, which this latency-bound loop is not
+            vmem_limit_bytes=100 * (1 << 20),
+        ),
+    )(*operands)
+    # [rep, B, G, Hkv, D] -> [B, G, H, D] with h = grp * rep + r
+    return (
+        out.reshape(rep, B, G, KV // D, D)
+        .transpose(1, 2, 3, 0, 4)
+        .reshape(B, G, H, D)
+    )
+
+
+def chunk_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    pos: jax.Array,
+    key_valid: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    block_s: Optional[int] = None,
+    batch_chunk: Optional[int] = None,
+) -> jax.Array:
+    """G-token decode attention over a KV cache with PER-ROW positions (the
+    speculative-decoding verification forward). Same contract as
+    `xla_chunk_attention` (q: [B, G, H, D], pos: [B]); dispatches to the
+    live-prefix Pallas kernel on TPU and the XLA einsum elsewhere."""
+    if use_pallas is None:
+        from .attention import _INTERPRET
+
+        use_pallas = jax.default_backend() == "tpu" or _INTERPRET
+    B, G, H, D = q.shape
+    S, KV = k_cache.shape[1], k_cache.shape[2]
+    bc = batch_chunk or _pick_batch_chunk(B)
+    if block_s is None:
+        # the loop is DMA-LATENCY bound (measured: ~27 us/block regardless
+        # of block_s), so prefer few, large blocks: bf16 temporaries inside
+        # the kernel keep the per-block working set ~2 bytes/elem, and the
+        # kernel raises its own vmem_limit_bytes past the 16 MB default
+        block_s = _pick_block_s(S, int(16 * (1 << 20)), bc * KV * 2)
+    elif S % block_s != 0:
+        raise ValueError(f"block_s={block_s} does not divide S={S}")
+    if (not use_pallas or (H * D) % KV != 0 or KV % 128 != 0 or block_s == 0
+            or bc == 0 or bc % 8 != 0 or B % bc != 0 or B > 128):
+        return xla_chunk_attention(
+            q, k_cache, v_cache, pos, key_valid, sm_scale, k_scale, v_scale
+        )
+    scale = sm_scale if sm_scale is not None else D ** -0.5
+    return _pallas_chunk(
+        q, k_cache, v_cache, pos, key_valid, scale, block_s, D, bc,
+        k_scale, v_scale,
+    )
+
+
 def xla_decode_attention(q, k_cache, v_cache, pos, key_valid=None,
                          sm_scale=None, k_scale=None, v_scale=None):
     """Reference/fallback path in pure XLA. q: [B, H, D];
