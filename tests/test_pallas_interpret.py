@@ -125,6 +125,40 @@ class TestDecodeAttentionInterpret:
                 atol=5e-2,
             )
 
+    def test_gqa_padded_cache_lanes(self):
+        """The real GQA zoo geometry (Hkv=5, D=64 -> KV 320) forces
+        128-alignment PAD LANES in the cache (larp_ar.init_cache); the
+        kernel must treat them as discarded garbage heads. Mosaic rejects
+        320-lane DMA slices outright — round 2's GQA bench silently ran the
+        slow XLA fallback because of this."""
+        rng = np.random.RandomState(7)
+        B, S, Hkv, rep, D = 8, 256, 5, 4, 64
+        H, KV, KVp = Hkv * rep, Hkv * D, 384
+        q = jnp.asarray(rng.randn(B, H, D), jnp.float32)
+        kc = jnp.zeros((B, S, KVp)).at[:, :, :KV].set(rng.randn(B, S, KV))
+        vc = jnp.zeros((B, S, KVp)).at[:, :, :KV].set(rng.randn(B, S, KV))
+        for pos in (0, 100, S - 1):
+            got = _DEC.decode_attention(
+                q, kc, vc, jnp.int32(pos), kv_heads=Hkv, use_pallas=True
+            )
+            want = _DEC.xla_decode_attention(
+                q, kc, vc, jnp.int32(pos), kv_heads=Hkv
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-2
+            )
+        # chunk variant: per-row positions over the padded cache
+        G = 3
+        qc = jnp.asarray(rng.randn(B, G, H, D), jnp.float32)
+        posv = jnp.asarray(rng.randint(0, S - G, size=(B,)), jnp.int32)
+        got = _DEC.chunk_attention(
+            qc, kc, vc, posv, kv_heads=Hkv, use_pallas=True
+        )
+        want = _DEC.xla_chunk_attention(qc, kc, vc, posv, kv_heads=Hkv)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2
+        )
+
 
 class TestChunkAttentionInterpret:
     """G-token per-row-position verification attention (speculative

@@ -68,11 +68,12 @@ class ModelArgs:
     # (jax.checkpoint via nn.remat) — trades ~30% step FLOPs for O(n_layer)x
     # less activation memory; for XXL/XXXL training and long sequences.
     remat: bool = False
-    # int8 weight-only serving: every projection becomes a QuantDense
-    # (kernel int8 + per-output-channel fp32 scale). Decode is bound by
-    # weight streaming, so halving the weight bytes is ~a 1.3x tokens/s win;
-    # XLA fuses the dequant into the matmul (no bf16 weight materialization).
-    # Inference-only: convert a trained checkpoint with `quantize_params`.
+    # int8 serving: every projection becomes a QuantDense (kernel int8 +
+    # per-output-channel fp32 scale, activations quantized dynamically per
+    # row -> native s8xs8 MXU matmuls streaming TRUE int8 weight bytes; see
+    # the QuantDense docstring for why weight-only dequant measured no
+    # faster than bf16). Inference-only: convert a trained checkpoint with
+    # `quantize_params`.
     quantized: bool = False
 
 
@@ -81,9 +82,16 @@ def _normal_init(std):
 
 
 class QuantDense(nn.Module):
-    """Weight-only int8 linear (no bias): y = (x @ w_q.astype(x.dtype)) * s,
-    with w_q int8 and s the per-output-channel dequant scale. Matmul math
-    matches nn.Dense (input dtype, e.g. bf16); built by `quantize_params`."""
+    """int8 linear (no bias) with DYNAMIC per-row activation quantization:
+    y = (x_q @ w_q) * x_scale * w_scale, both operands int8 so the MXU runs
+    a native s8xs8->s32 matmul and the decode loop streams TRUE int8 weight
+    bytes. The obvious weight-only form — x @ w_q.astype(bf16) — measured
+    NO faster than bf16 serving (353 GB/s effective fixed cost,
+    tools/profile_decode.py 2026-08-19): the convert is loop-invariant, so
+    XLA hoists a bf16 weight copy out of the decode loop and streams that.
+    Activation rows get the same symmetric per-row treatment as the int8
+    KV cache (`ops.decode_attention._quantize_rows`); built by
+    `quantize_params`."""
 
     features: int
 
@@ -96,11 +104,16 @@ class QuantDense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
         y = jax.lax.dot_general(
-            x, kernel.astype(x.dtype),
+            xq, kernel,
             (((x.ndim - 1,), (0,)), ((), ())),
-        )
-        return y * scale.astype(y.dtype)
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        return (y * xs * scale).astype(x.dtype)
 
 
 def _dense(cfg: "ModelArgs", features: int, kernel_init, name: str):
@@ -210,12 +223,23 @@ class Attention(nn.Module):
         out = self.wo(out)
         return self.resid_dropout(out, deterministic=not train)
 
+    def _pad_kv_rows(self, lc, rows):
+        """Zero-pad [B, T, Hkv*D] K/V rows to the cache's 128-aligned lane
+        width (a no-op when Hkv*D is already a tile multiple). Zero pads do
+        not change the per-row int8 quantization scale."""
+        pad = lc["k"].shape[-1] - rows.shape[-1]
+        if pad == 0:
+            return rows
+        return jnp.pad(rows, ((0, 0), (0, 0), (0, pad)))
+
     def _store(self, lc, rows_k, rows_v, start_pos):
         """Write [B, T, KV] K/V rows into the layer cache dict at row
         `start_pos`. One sublane-row write of the [B, S, KV] cache — cheap;
         a lane-dim update would RMW every tile in that lane's column (see
         ops/decode_attention.py design notes). int8 caches ('ks'/'vs' scale
         planes present) quantize per (batch, position) row."""
+        rows_k = self._pad_kv_rows(lc, rows_k)
+        rows_v = self._pad_kv_rows(lc, rows_v)
         B, T, _ = rows_k.shape
         out = dict(lc)
         for name, sname, rows in (("k", "ks", rows_k), ("v", "vs", rows_v)):
@@ -245,7 +269,10 @@ class Attention(nn.Module):
         `write_rows_per_row`."""
         from ..ops.cache_update import write_rows_per_row
 
-        return write_rows_per_row(lc, rows_k, rows_v, pos)
+        return write_rows_per_row(
+            lc, self._pad_kv_rows(lc, rows_k), self._pad_kv_rows(lc, rows_v),
+            pos,
+        )
 
     def decode_chunk(self, x, pos, lc, key_valid=None):
         """G-token decode (speculative verification): x [B, G, dim] chunk
@@ -264,6 +291,7 @@ class Attention(nn.Module):
         out = chunk_attention(
             q, lc["k"], lc["v"], pos, key_valid=key_valid,
             k_scale=lc.get("ks"), v_scale=lc.get("vs"),
+            kv_heads=self.n_kv_head,
         )
         out = out.reshape(B, G, self.n_head * self.head_dim).astype(x.dtype)
         return self.wo(out), lc
@@ -311,6 +339,7 @@ class Attention(nn.Module):
             q.reshape(B, self.n_head, self.head_dim), lc["k"], lc["v"], pos,
             key_valid=key_valid,
             k_scale=lc.get("ks"), v_scale=lc.get("vs"),
+            kv_heads=self.n_kv_head,
         )
         out = out.reshape(B, 1, self.n_head * self.head_dim).astype(x.dtype)
         return self.wo(out), lc
@@ -526,7 +555,12 @@ class LARP_AR(nn.Module):
         S = find_multiple(max_seq_length, 128)
         n_kv = cfg.n_kv_head or cfg.n_head
         head_dim = cfg.dim // cfg.n_head
-        shape = (batch_size, S, n_kv * head_dim)
+        # lane width padded to the 128 tile: Mosaic DMA slices must be
+        # 128-aligned in the lane dim, and GQA head counts (e.g. 5 KV heads
+        # x 64 = 320) otherwise force the whole decode onto the slow XLA
+        # fallback — the round-2 reason GQA serving LOST to MHA. Stores
+        # zero-fill the pad lanes; attention consumers slice them off.
+        shape = (batch_size, S, find_multiple(n_kv * head_dim, 128))
         if dtype == jnp.int8:
             # quantized cache: int8 rows + per-(position, batch) fp32 scale
             # planes, laid out [S, 128] so the decode kernel's per-block

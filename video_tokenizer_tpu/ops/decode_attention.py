@@ -247,19 +247,25 @@ def _decode_kernel(
 
 
 def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
-                   head_dim, bc, k_scale=None, v_scale=None):
+                   head_dim, bc, k_scale=None, v_scale=None, kv_heads=None):
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
-    rep = (H * D) // KV  # query heads per KV head (1 for MHA)
+    Hkv = kv_heads or (KV // D)
+    rep = H // Hkv  # query heads per KV head (1 for MHA)
     quantized = k_scale is not None
     pos = jnp.asarray(pos, jnp.int32).reshape(1)
     # GQA: query head h reads KV group h // rep (matching the training
     # path's jnp.repeat). Lay q out [rep, B, Hkv * D] so each r-slice aligns
     # with the [bc, ...] K/V blocks in the kernel; the grid blocks the B dim
-    # into chunks of bc rows.
-    q_in = q.reshape(B, KV // D, rep, D).transpose(2, 0, 1, 3).reshape(
-        rep, B, KV
+    # into chunks of bc rows. Caches may carry zero PAD LANES past Hkv * D
+    # (128-alignment, larp_ar.init_cache): q gets the same zero pad, the
+    # kernel treats the pad as extra (garbage) heads, and the output slice
+    # below drops them.
+    q_in = q.reshape(B, Hkv, rep, D).transpose(2, 0, 1, 3).reshape(
+        rep, B, Hkv * D
     )
+    if KV > Hkv * D:
+        q_in = jnp.pad(q_in, ((0, 0), (0, 0), (0, KV - Hkv * D)))
     # key validity as an additive bias laid out [S, 128] (batch in the first
     # B lanes): S in the SUBLANE dim so per-block DMA slices are
     # tile-aligned, and the lane dim padded to the 128 tile (lane slices of
@@ -305,11 +311,15 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
         out_shape=jax.ShapeDtypeStruct((rep, B, KV), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # GQA rep>1 working sets run slightly past the 16 MB default
+            # (16.21 MB measured at rep=4/bc=16/KV=384 on a v5e)
+            vmem_limit_bytes=64 * (1 << 20),
         ),
     )(*operands)
     # [rep, B, Hkv, D] -> [B, H, D] with h = g * rep + r
     return (
-        out.reshape(rep, B, KV // D, D).transpose(1, 2, 0, 3).reshape(B, H, D)
+        out[:, :, : Hkv * D]
+        .reshape(rep, B, Hkv, D).transpose(1, 2, 0, 3).reshape(B, H, D)
     )
 
 
@@ -498,16 +508,20 @@ def _chunk_kernel(
 
 
 def _pallas_chunk(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
-                  head_dim, bc, k_scale=None, v_scale=None):
+                  head_dim, bc, k_scale=None, v_scale=None, kv_heads=None):
     B, G, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
-    rep = (H * D) // KV
+    Hkv = kv_heads or (KV // D)
+    rep = H // Hkv
     quantized = k_scale is not None
     pos = jnp.asarray(pos, jnp.int32).reshape(B)
-    # [rep, B, G, KV] query layout (GQA rep folded out, as _pallas_decode)
-    q_in = q.reshape(B, G, KV // D, rep, D).transpose(3, 0, 1, 2, 4).reshape(
-        rep, B, G, KV
+    # [rep, B, G, KV] query layout (GQA rep folded out, as _pallas_decode);
+    # pad lanes mirror the cache's 128-alignment padding
+    q_in = q.reshape(B, G, Hkv, rep, D).transpose(3, 0, 1, 2, 4).reshape(
+        rep, B, G, Hkv * D
     )
+    if KV > Hkv * D:
+        q_in = jnp.pad(q_in, ((0, 0), (0, 0), (0, 0), (0, KV - Hkv * D)))
     pos2d = jnp.broadcast_to(pos[:, None], (B, 128))
     has_bias = key_valid is not None
     if has_bias:
@@ -561,7 +575,8 @@ def _pallas_chunk(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     )(*operands)
     # [rep, B, G, Hkv, D] -> [B, G, H, D] with h = grp * rep + r
     return (
-        out.reshape(rep, B, G, KV // D, D)
+        out[..., : Hkv * D]
+        .reshape(rep, B, G, Hkv, D)
         .transpose(1, 2, 3, 0, 4)
         .reshape(B, G, H, D)
     )
@@ -579,6 +594,7 @@ def chunk_attention(
     v_scale: Optional[jax.Array] = None,
     block_s: Optional[int] = None,
     batch_chunk: Optional[int] = None,
+    kv_heads: Optional[int] = None,
 ) -> jax.Array:
     """G-token decode attention over a KV cache with PER-ROW positions (the
     speculative-decoding verification forward). Same contract as
@@ -590,6 +606,7 @@ def chunk_attention(
         use_pallas = jax.default_backend() == "tpu" or _INTERPRET
     B, G, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
+    Hkv = kv_heads or (KV // D)
     bc = batch_chunk or _pick_batch_chunk(B)
     if block_s is None:
         # the loop is DMA-LATENCY bound (measured: ~27 us/block regardless
@@ -599,27 +616,34 @@ def chunk_attention(
         block_s = _pick_block_s(S, int(16 * (1 << 20)), bc * KV * 2)
     elif S % block_s != 0:
         raise ValueError(f"block_s={block_s} does not divide S={S}")
-    if (not use_pallas or (H * D) % KV != 0 or KV % 128 != 0 or block_s == 0
+    if (not use_pallas or H % Hkv != 0 or KV < Hkv * D or KV % 128 != 0
+            or block_s == 0
             or bc == 0 or bc % 8 != 0 or B % bc != 0 or B > 128):
         return xla_chunk_attention(
-            q, k_cache, v_cache, pos, key_valid, sm_scale, k_scale, v_scale
+            q, k_cache, v_cache, pos, key_valid, sm_scale, k_scale, v_scale,
+            kv_heads=kv_heads,
         )
     scale = sm_scale if sm_scale is not None else D ** -0.5
     return _pallas_chunk(
         q, k_cache, v_cache, pos, key_valid, scale, block_s, D, bc,
-        k_scale, v_scale,
+        k_scale, v_scale, kv_heads=Hkv,
     )
 
 
 def xla_decode_attention(q, k_cache, v_cache, pos, key_valid=None,
-                         sm_scale=None, k_scale=None, v_scale=None):
+                         sm_scale=None, k_scale=None, v_scale=None,
+                         kv_heads=None):
     """Reference/fallback path in pure XLA. q: [B, H, D];
-    k_cache/v_cache: [B, S, Hkv * D]; pos: scalar (last live key,
-    inclusive); k_scale/v_scale: optional [S, 128] fp32 dequant planes for
-    int8 caches (batch in the first B lanes, one scale per cache row)."""
+    k_cache/v_cache: [B, S, >= Hkv * D] (extra lanes are 128-alignment
+    padding, sliced off); pos: scalar (last live key, inclusive);
+    k_scale/v_scale: optional [S, 128] fp32 dequant planes for int8 caches
+    (batch in the first B lanes, one scale per cache row)."""
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
-    Hkv = KV // D
+    Hkv = kv_heads or (KV // D)
+    if KV > Hkv * D:
+        k_cache = k_cache[..., : Hkv * D]
+        v_cache = v_cache[..., : Hkv * D]
     rep = H // Hkv
     scale = sm_scale if sm_scale is not None else D ** -0.5
     qg = q.reshape(B, Hkv, rep, D).astype(jnp.float32)
@@ -658,7 +682,8 @@ def xla_decode_attention(q, k_cache, v_cache, pos, key_valid=None,
 
 
 def xla_chunk_attention(q, k_cache, v_cache, pos, key_valid=None,
-                        sm_scale=None, k_scale=None, v_scale=None):
+                        sm_scale=None, k_scale=None, v_scale=None,
+                        kv_heads=None):
     """G-token causal decode attention over a KV cache (the speculative-
     decoding verification forward; generation/speculative.py). q: [B, G, H, D]
     — G chunk tokens per row, the g-th at absolute position pos[b] + g;
@@ -674,7 +699,10 @@ def xla_chunk_attention(q, k_cache, v_cache, pos, key_valid=None,
     prefix DMA machinery buys far less here than in the 1-token loop."""
     B, G, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
-    Hkv = KV // D
+    Hkv = kv_heads or (KV // D)
+    if KV > Hkv * D:
+        k_cache = k_cache[..., : Hkv * D]
+        v_cache = v_cache[..., : Hkv * D]
     rep = H // Hkv
     scale = sm_scale if sm_scale is not None else D ** -0.5
     qg = q.reshape(B, G, Hkv, rep, D).astype(jnp.float32)
@@ -750,6 +778,7 @@ def decode_attention(
     v_scale: Optional[jax.Array] = None,
     block_s: Optional[int] = None,
     batch_chunk: Optional[int] = None,
+    kv_heads: Optional[int] = None,
 ) -> jax.Array:
     """One-token decode attention over a KV cache.
 
@@ -768,6 +797,7 @@ def decode_attention(
         use_pallas = jax.default_backend() == "tpu"
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
+    Hkv = kv_heads or (KV // D)
     bc = batch_chunk or _pick_batch_chunk(B)
     if batch_chunk is not None and (bc % 8 != 0 or B % bc != 0):
         # an explicit override must not silently fall back to XLA — that
@@ -777,18 +807,23 @@ def decode_attention(
             "batch_chunk % 8 == 0 and B % batch_chunk == 0"
         )
     if block_s is None:
-        block_s = _pick_block_s(S, int(5.5 * (1 << 20)), bc * KV * 4)
+        # rep scales the kernel's fp32 qk/pb temporaries (GQA folds rep
+        # query heads per KV block), so it scales the budget denominator
+        rep_ = max(H // Hkv, 1)
+        block_s = _pick_block_s(S, int(5.5 * (1 << 20)), bc * KV * 4 * rep_)
     elif S % block_s != 0:
         # an explicit override must tile S exactly: a clamped final-block
         # DMA would read misaligned cache rows under wrong position labels
         raise ValueError(f"block_s={block_s} does not divide S={S}")
-    if (not use_pallas or (H * D) % KV != 0 or KV % 128 != 0 or block_s == 0
+    if (not use_pallas or H % Hkv != 0 or KV < Hkv * D or KV % 128 != 0
+            or block_s == 0
             or bc == 0 or bc % 8 != 0 or B % bc != 0 or B > 128):
         return xla_decode_attention(
-            q, k_cache, v_cache, pos, key_valid, sm_scale, k_scale, v_scale
+            q, k_cache, v_cache, pos, key_valid, sm_scale, k_scale, v_scale,
+            kv_heads=kv_heads,
         )
     scale = sm_scale if sm_scale is not None else D ** -0.5
     return _pallas_decode(
         q, k_cache, v_cache, pos, key_valid, scale, block_s, D, bc,
-        k_scale, v_scale,
+        k_scale, v_scale, kv_heads=Hkv,
     )
