@@ -274,6 +274,28 @@ class TestSpeculativeGenerate:
         assert tok_s > 0
         assert acc == pytest.approx(1.0)
 
+    def test_bench_speculative_acceptance_constructions(self):
+        """The sub-1.0 acceptance lines: independent sharpened heads must
+        measure BELOW the uniform ceiling, and the self-draft path must run
+        and report a valid acceptance."""
+        import bench
+
+        tiny = dict(n_layer=2, n_head=2, dim=64, vocab_size=32,
+                    max_seq_len=64)
+        # int8=True exercises the quantize-both-models wiring the TPU
+        # bench lines use (weight-only QuantDense on target AND draft)
+        _, acc_floor = bench.bench_speculative(
+            batch_size=2, new_tokens=16, gamma=2, target_kw=tiny,
+            draft_kw=dict(n_layer=1, n_head=2, dim=64), head_std=0.5,
+            int8=True,
+        )
+        assert 0.0 <= acc_floor < 0.999
+        _, acc_self = bench.bench_speculative(
+            batch_size=2, new_tokens=16, gamma=2, target_kw=tiny,
+            head_std=0.5, self_draft_layers=1, int8=True,
+        )
+        assert 0.0 <= acc_self <= 1.0
+
     def test_frame_prediction_mode(self):
         """Frame-prediction prompts ([B, T] token conditioning) ride the
         same machinery; greedy must match generate."""
