@@ -1,0 +1,188 @@
+"""Per-op attribution of the flagship tokenizer forward (VERDICT r2 #9).
+
+bench.py's `mfu_vs_v5e_peak` is one number; this stores WHERE the clip's
+~1.74 TFLOPs go so the next optimization round starts from data instead of
+re-deriving it. Each component of the encode+VQ+decode path is timed as a
+standalone jitted program at the exact flagship shapes (B=8, S=3072, d=768,
+bf16), serialized through a scan so the axon tunnel's unreliable
+block_until_ready cannot fake speed; the full forward is timed the same way
+and the residual (total - sum of parts) is reported as unattributed
+(dispatch, PE adds, concat/slice, clip).
+
+Writes profiles/tokenizer_profile.json. Run: python tools/profile_tokenizer.py
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+V5E_BF16_TFLOPS = 197.0
+
+B, S, D, H, LAYERS = 8, 3072, 768, 12, 24  # both ViT stacks, [2048p || 1024q]
+PATCH_TOKENS, LATENTS, CODES, BTL = 2048, 1024, 8192, 8
+
+
+def timed(fn, args, iters):
+    """Chain `iters` applications through a scan (output feeds input) and
+    fetch one scalar: real device time on the tunnel."""
+
+    def chained(args):
+        # serialize: each iteration consumes the previous output as its
+        # first operand (every fn returns something shaped like arg 0)
+        first = fn(*args)
+
+        def body(carry, _):
+            return fn(carry, *args[1:]), ()
+
+        out, _ = jax.lax.scan(body, first, None, length=iters - 1)
+        return jnp.sum(out[..., :1].astype(jnp.float32))
+
+    jfn = jax.jit(chained)
+    float(jfn(args))  # compile + warmup
+    t0 = time.perf_counter()
+    float(jfn(args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+    it = args.iters
+    key = jax.random.PRNGKey(0)
+
+    from video_tokenizer_tpu.ops.attention import attention
+    from video_tokenizer_tpu.ops.vq import vq_lookup_pallas
+
+    rows = []
+
+    def add(name, per_call_s, calls, flops_per_call):
+        ms = per_call_s * 1e3
+        tf = flops_per_call / per_call_s / 1e12 if per_call_s else 0.0
+        rows.append({
+            "component": name, "ms_per_call": round(ms, 4), "calls": calls,
+            "ms_total": round(ms * calls, 3),
+            "achieved_tflops": round(tf, 1),
+            "pct_of_mxu_peak": round(tf / V5E_BF16_TFLOPS, 3),
+        })
+
+    # --- flash attention fwd (non-causal, no segments), one layer ---------
+    q = jax.random.normal(key, (B, S, H, D // H), jnp.bfloat16)
+    t = timed(lambda q, k, v: attention(q, k, v), (q, q, q), it)
+    add("attention", t, LAYERS, 4.0 * B * S * S * D)
+
+    # --- qkv + out-proj matmuls, one layer --------------------------------
+    x2 = jax.random.normal(key, (B * S, D), jnp.bfloat16)
+    wqkv = jax.random.normal(key, (D, 3 * D), jnp.bfloat16) * 0.02
+    wo = jax.random.normal(key, (3 * D, D), jnp.bfloat16) * 0.02
+
+    def qkvproj(x, wqkv, wo):
+        return (x @ wqkv) @ wo  # qkv (d->3d) + proj folded (3d->d ~ d->d x3+1)
+
+    t = timed(qkvproj, (x2, wqkv, wo), it)
+    add("qkv+proj matmuls", t, LAYERS, 2.0 * B * S * (3 * D * D + 3 * D * D))
+
+    # --- MLP (fc1 + exact GELU + fc2), one layer ---------------------------
+    w1 = jax.random.normal(key, (D, 4 * D), jnp.bfloat16) * 0.02
+    w2 = jax.random.normal(key, (4 * D, D), jnp.bfloat16) * 0.02
+
+    def mlp(x, w1, w2):
+        return jax.nn.gelu(x @ w1, approximate=False) @ w2
+
+    t = timed(mlp, (x2, w1, w2), it)
+    add("mlp", t, LAYERS, 2.0 * B * S * (4 * D * D + 4 * D * D))
+
+    # --- LayerNorm (fp32 stats, like Flax), two per layer ------------------
+    x3 = jax.random.normal(key, (B, S, D), jnp.bfloat16)
+
+    def ln(x):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+
+    t = timed(ln, (x3,), it)
+    add("layernorm", t, 2 * LAYERS, 0.0)
+
+    # --- patchify / unpatchify as matmuls ----------------------------------
+    px = jax.random.normal(key, (B * PATCH_TOKENS, 3 * 4 * 8 * 8), jnp.bfloat16)
+    pw = jax.random.normal(key, (3 * 4 * 8 * 8, D), jnp.bfloat16) * 0.02
+    t = timed(lambda a, w: a @ w, (px, pw), it)
+    add("patchify+output", t, 2, 2.0 * B * PATCH_TOKENS * 768 * D)
+
+    # --- VQ distance scan (Pallas, fp32 codebook math) ---------------------
+    z = jax.random.normal(key, (B * LATENTS, BTL), jnp.float32)
+    emb = jax.random.normal(key, (CODES, BTL), jnp.float32)
+
+    def vq(z, emb):
+        idx = vq_lookup_pallas(z, emb)
+        return z + 1e-9 * idx.astype(jnp.float32)[:, None]
+
+    t = timed(vq, (z, emb), it)
+    add("vq lookup", t, 1, 2.0 * B * LATENTS * BTL * CODES)
+
+    # --- full flagship forward (bench.py's program) -------------------------
+    from __graft_entry__ import flagship_tokenizer
+
+    model = flagship_tokenizer()
+    x = jax.random.uniform(key, (B, 3, 16, 128, 128), jnp.float32)
+    variables = model.init(
+        {"params": key, "vq": jax.random.PRNGKey(1)}, x[:1], train=False
+    )
+
+    def fwd(x):
+        out = model.apply(
+            variables, x, train=False, rngs={"vq": jax.random.PRNGKey(2)}
+        )
+        return jnp.clip(out["pred_frames"].astype(x.dtype), 0.0, 1.0)
+
+    t_total = timed(fwd, (x,), it)
+
+    attributed = sum(r["ms_total"] for r in rows)
+    total_ms = t_total * 1e3
+    from bench import tokenizer_flops_per_clip
+
+    report = {
+        "geometry": {"B": B, "S": S, "d": D, "layers": LAYERS},
+        "total_ms_per_batch": round(total_ms, 2),
+        "clips_per_s": round(B / t_total, 2),
+        "mfu": round(
+            B * tokenizer_flops_per_clip() / t_total / 1e12 / V5E_BF16_TFLOPS,
+            3,
+        ),
+        "components": rows,
+        "attributed_ms": round(attributed, 2),
+        "unattributed_ms": round(total_ms - attributed, 2),
+        "note": (
+            "components timed standalone at identical shapes; overlap/fusion "
+            "in the real program can make the sum differ from the total — "
+            "the residual bounds fusion wins + dispatch + elementwise glue"
+        ),
+    }
+    out_dir = Path(__file__).resolve().parent.parent / "profiles"
+    out_dir.mkdir(exist_ok=True)
+    path = out_dir / "tokenizer_profile.json"
+    path.write_text(json.dumps(report, indent=2) + "\n")
+
+    print(f"backend: {jax.default_backend()}  total: {total_ms:.2f} ms/batch "
+          f"({B / t_total:.1f} clips/s, mfu {report['mfu']})")
+    for r in rows:
+        print(f"  {r['component']:<18} {r['ms_per_call']:8.3f} ms x"
+              f"{r['calls']:>3} = {r['ms_total']:8.2f} ms   "
+              f"{r['achieved_tflops']:7.1f} TF/s "
+              f"({r['pct_of_mxu_peak']:.0%} peak)")
+    print(f"  {'(unattributed)':<18} {'':>8}    {'':>3}   "
+          f"{report['unattributed_ms']:8.2f} ms")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ from flax import linen as nn
 from ..ops import sincos
 from ..ops.attention import attention
 from ..ops.decode_attention import _quantize_rows, decode_attention
+from ..ops.quant_matmul import w8_matmul
 from ..registry import models
 from .embed import LabelEmbedder
 
@@ -69,11 +70,12 @@ class ModelArgs:
     # less activation memory; for XXL/XXXL training and long sequences.
     remat: bool = False
     # int8 serving: every projection becomes a QuantDense (kernel int8 +
-    # per-output-channel fp32 scale, activations quantized dynamically per
-    # row -> native s8xs8 MXU matmuls streaming TRUE int8 weight bytes; see
-    # the QuantDense docstring for why weight-only dequant measured no
-    # faster than bf16). Inference-only: convert a trained checkpoint with
-    # `quantize_params`.
+    # per-output-channel fp32 scale) computed by the weight-only Pallas
+    # kernel `ops/quant_matmul.py` — the dequant happens in-kernel in VMEM,
+    # so the decode loop streams TRUE int8 weight bytes (both XLA forms
+    # materialize widened weight copies; see the kernel's module docstring
+    # for the measurements). Inference-only: convert a trained checkpoint
+    # with `quantize_params`.
     quantized: bool = False
 
 
@@ -82,16 +84,17 @@ def _normal_init(std):
 
 
 class QuantDense(nn.Module):
-    """int8 linear (no bias) with DYNAMIC per-row activation quantization:
-    y = (x_q @ w_q) * x_scale * w_scale, both operands int8 so the MXU runs
-    a native s8xs8->s32 matmul and the decode loop streams TRUE int8 weight
-    bytes. The obvious weight-only form — x @ w_q.astype(bf16) — measured
-    NO faster than bf16 serving (353 GB/s effective fixed cost,
-    tools/profile_decode.py 2026-08-19): the convert is loop-invariant, so
-    XLA hoists a bf16 weight copy out of the decode loop and streams that.
-    Activation rows get the same symmetric per-row treatment as the int8
-    KV cache (`ops.decode_attention._quantize_rows`); built by
-    `quantize_params`."""
+    """int8 linear (no bias), weight-only: y = x @ (w8 * scale[None, :])
+    via the Pallas kernel `ops.quant_matmul.w8_matmul`, which converts the
+    int8 weight block to bf16 IN VMEM so the decode loop streams true int8
+    weight bytes. Both pure-XLA forms fail to: weight-only dequant gets its
+    loop-invariant convert HOISTED (a bf16 copy streams instead — measured
+    no faster than bf16 serving, tools/profile_decode.py 2026-08-19), and
+    round 2's dynamic w8a8 s8xs8 form measured 176 GB/s effective weight
+    streaming (t_fixed 3.44 ms vs 0.74 ms analytic at b32 — XLA widens the
+    weight inside the loop; pos-sweep fit 2026-08-20). Weight-only also
+    skips the per-row activation-quant VPU work and keeps activations bf16
+    (strictly more accurate). Built by `quantize_params`."""
 
     features: int
 
@@ -104,16 +107,7 @@ class QuantDense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        xf = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        xs = jnp.maximum(amax / 127.0, 1e-8)
-        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-        y = jax.lax.dot_general(
-            xq, kernel,
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        return (y * xs * scale).astype(x.dtype)
+        return w8_matmul(x, kernel, scale)
 
 
 def _dense(cfg: "ModelArgs", features: int, kernel_init, name: str):

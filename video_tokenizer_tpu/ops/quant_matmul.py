@@ -1,0 +1,133 @@
+"""Weight-only int8 projection matmul for serving (Pallas), XLA fallback.
+
+The int8 serving mode (sample.py --dtype int8; reference serves bf16 only,
+ar/generate.py:105-123) is worth exactly as much as the WEIGHT BYTES the
+decode loop actually streams. Neither obvious XLA form delivers them:
+
+  * `x @ (w8 * scale).astype(bf16)` — the dequant is loop-invariant, so XLA
+    hoists a bf16 copy of every kernel out of the decode loop and streams
+    THAT: int8 weights serve no faster than bf16 (measured on a v5e,
+    tools/profile_decode.py 2026-08-19).
+  * dynamic w8a8 (`round(x/s) @ w8` on the int8 MXU path) keeps int8 bytes
+    in HBM but XLA materializes a widened copy of the weight INSIDE the
+    loop: the b32 int8 decode step measured t_fixed = 3.44 ms against
+    0.74 ms of analytic int8 weight streaming — ~176 GB/s effective, i.e.
+    int8-read + bf16-write + bf16-read traffic (tools/profile_decode.py
+    pos-sweep fit, 2026-08-20).
+
+This kernel makes the dequant un-hoistable and un-materializable: the int8
+block is DMA'd to VMEM by the normal BlockSpec pipeline, converted to bf16
+in-register (EXACT: |q| <= 127 fits bf16's 8 mantissa bits), fed to the MXU
+with fp32 accumulation, and the per-output-channel fp32 scale is applied to
+the accumulator — algebraically identical to dot(x, w8*scale) because scale
+is constant along the contraction. HBM cost per call: K*N int8 bytes + the
+(tiny) activation/output rows, the roofline for this mode.
+
+Weight-only replaces round 2's dynamic-w8a8 QuantDense algebra: it streams
+the same int8 bytes, skips the per-row activation quantization VPU work,
+and is strictly MORE accurate (activations stay bf16). models/larp_ar.py's
+`quantize_params` checkpoints are unchanged (kernel int8 [K, N] + fp32
+scale [N]).
+
+Public entry: `w8_matmul(x, w8, scale)` — x [..., K] float, w8 [K, N] int8,
+scale [N] fp32; returns [..., N] in x.dtype.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _pallas_call
+
+
+def _pick_block(n: int, candidates) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return n
+
+
+def _w8_kernel(x_ref, w_ref, s_ref, o_ref):
+    # int8 -> bf16 is exact; fp32 accumulation on the MXU; the fp32
+    # per-channel scale multiplies the accumulator (== scaling w, since
+    # scale is constant along K).
+    acc = jnp.dot(
+        x_ref[:], w_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (acc * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "out_dtype")
+)
+def _w8_matmul_2d(x, w8, scale, block_m: int, block_n: int, out_dtype):
+    M, K = x.shape
+    N = w8.shape[1]
+    grid = (M // block_m, N // block_n)
+    return _pallas_call(
+        _w8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((K, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+    )(x, w8, scale.reshape(1, N))
+
+
+def w8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array) -> jax.Array:
+    """y = x @ (w8 * scale[None, :]) streaming TRUE int8 weight bytes.
+
+    x: [..., K] float; w8: [K, N] int8; scale: [N] fp32. Returns [..., N]
+    in x.dtype (compute: bf16 operands, fp32 accumulation + scale). Falls
+    back to the identical XLA algebra off-TPU or on tile-unaligned shapes
+    (every real model's projections are 128-aligned)."""
+    K, N = w8.shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    import importlib
+
+    # ops/__init__ re-exports the `attention` FUNCTION under the submodule's
+    # name, so fetch the module itself for its interpret switch
+    _attn_mod = importlib.import_module(".attention", __package__)
+    use_pallas = (
+        (jax.default_backend() == "tpu" or _attn_mod._INTERPRET)
+        and K % 128 == 0
+        and N % 128 == 0
+    )
+    if not use_pallas:
+        y = jnp.dot(
+            x2.astype(jnp.bfloat16), w8.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * scale).astype(x.dtype).reshape(*lead, N)
+
+    # one M block for decode-sized rows; tile prefill-sized M
+    block_m = min(256, _round_up(M, 16))
+    pad_m = _round_up(M, block_m) - M
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    # cap the int8 weight block at ~2 MB so double-buffering stays cheap
+    block_n = _pick_block(
+        N, [c for c in (1024, 512, 256, 128) if K * c <= 4 * 1024 * 1024]
+    )
+    y = _w8_matmul_2d(
+        x2.astype(jnp.bfloat16), w8, scale.astype(jnp.float32),
+        block_m, block_n, x.dtype,
+    )
+    if pad_m:
+        y = y[:M]
+    return y.reshape(*lead, N)
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
