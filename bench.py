@@ -403,7 +403,8 @@ def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
                       gamma: int = 4, int8: bool = False,
                       int8_kv: bool = False,
                       target_kw: dict = None, draft_kw: dict = None,
-                      head_std: float = 0.0, self_draft_layers: int = 0):
+                      head_std: float = 0.0, self_draft_layers: int = 0,
+                      draft_params: dict = None):
     """Speculative-decoding serving throughput (sample.py --draft_model):
     632M llama-abs-LP target, ~60M draft (8 layers, d=768), gamma proposals
     per ONE target chunk verify. Three constructions (the acceptance knob a
@@ -470,7 +471,10 @@ def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
         dv = {"params": dp}
     else:
         draft = LARP_AR(ModelArgs(**d_args))
-        dv = init(draft, 1, 8)  # head_seed differs: independent sharp head
+        if draft_params is not None:  # distilled weights (bench_spec_trained)
+            dv = {"params": draft_params}
+        else:
+            dv = init(draft, 1, 8)  # head_seed differs: independent sharp head
         if int8:
             draft = LARP_AR(dataclasses.replace(draft.config, quantized=True))
             dv = {"params": quantize_params(dv["params"])}
@@ -488,6 +492,49 @@ def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
     return batch_size * new_tokens / dt, float(stats["acceptance_rate"])
 
 
+def bench_spec_trained(steps: int = 120, head_std: float = 0.11,
+                       log=lambda *a: None):
+    """Speculative throughput + MEASURED acceptance for a draft DISTILLED
+    against the bench target (VERDICT r3 #7; recipe in
+    tools/distill_draft.py). Same sharp-head target as the floor line
+    (head_std 0.11, seeds 0/7), so floor vs trained isolates what the
+    bounded distillation budget buys. Returns (tok/s, acceptance, stats)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from distill_draft import distill
+
+    from video_tokenizer_tpu.models.larp_ar import LARP_AR, ModelArgs
+
+    common = dict(vocab_size=8192, num_classes=101, max_seq_len=1024,
+                  token_dropout_p=0.0, resid_dropout_p=0.0,
+                  ffn_dropout_p=0.0)
+    target = LARP_AR(ModelArgs(n_layer=30, n_head=20, dim=1280, **common))
+    draft = LARP_AR(ModelArgs(n_layer=8, n_head=12, dim=768, **common))
+    idx = jnp.zeros((8, 8), jnp.int32)
+    cond = jnp.zeros((8,), jnp.int32)
+
+    # EXACTLY the floor line's target: seed 0, sharp head seed 7
+    tv = target.init({"params": jax.random.PRNGKey(0)}, idx, cond)
+    tv = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), tv)
+    p = dict(tv["params"])
+    out = dict(p["output"])
+    out["kernel"] = head_std * jax.random.normal(
+        jax.random.PRNGKey(7), out["kernel"].shape, jnp.bfloat16
+    )
+    p["output"] = out
+    tv = {"params": p}
+    dv = draft.init({"params": jax.random.PRNGKey(1)}, idx, cond)
+    dv = jax.tree_util.tree_map(lambda p_: p_.astype(jnp.bfloat16), dv)
+
+    trained, stats = distill(target, tv, draft, dv, jax.random.PRNGKey(11),
+                             steps=steps, batch=8, seq_len=1024, lr=1e-3,
+                             log=log)
+    tok_s, acc = bench_speculative(int8=True, int8_kv=True,
+                                   head_std=head_std, draft_params=trained)
+    return tok_s, acc, stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true",
@@ -496,6 +543,11 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-ar", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--deadline", type=float, default=1140.0,
+                    help="hard wall-clock budget (s); on expiry the current "
+                         "cumulative JSON is printed and the process exits 0")
+    ap.add_argument("--sections", type=str, default="",
+                    help="comma-separated subset of section names to run")
     args = ap.parse_args()
 
     import os
@@ -514,134 +566,202 @@ def main():
         with open(_CPU_BASELINE_FILE) as f:
             baseline = json.load(f)["clips_per_s"]
 
-    # The axon tunnel has outage modes where backend init HANGS forever
-    # (jax.devices() never returns). A hung bench wedges the driver; a
-    # bounded failure with a parseable JSON line does not.
+    # ---- cumulative incremental output (VERDICT r3 #1) -------------------
+    # Round 3's perf ledger was ZEROED by an all-or-nothing bench: one JSON
+    # print at the very end of a >30-min run, killed by the driver at
+    # rc=124. Now the FULL cumulative JSON line is re-printed after EVERY
+    # completed section (the last line printed is always the most complete),
+    # sections run cheapest-first, and a hard watchdog deadline prints the
+    # current state and exits 0. A timer THREAD (not signal.alarm) so it
+    # fires even while the main thread is blocked inside a C host-fetch.
     import threading
 
-    def _probe_timed_out():
-        print(json.dumps({
-            "metric": "tokenizer_encode_decode_throughput",
-            "value": 0.0, "unit": "clips/s/chip", "vs_baseline": None,
-            "error": "device probe timed out after 180s (axon tunnel outage)",
-        }), flush=True)
-        os._exit(3)
+    t_start = time.monotonic()
+    state = {
+        "metric": "tokenizer_encode_decode_throughput",
+        "value": 0.0,
+        "unit": "clips/s/chip",
+        "vs_baseline": None,
+        "extras": {"_section_s": {}},
+    }
+    extras = state["extras"]
+    emit_lock = threading.Lock()
 
-    watchdog = threading.Timer(180.0, _probe_timed_out)
+    def emit():
+        with emit_lock:
+            print(json.dumps(state), flush=True)
+
+    def _deadline_fired():
+        extras["deadline_hit_after_s"] = round(time.monotonic() - t_start, 1)
+        emit()
+        os._exit(0)
+
+    watchdog = threading.Timer(args.deadline, _deadline_fired)
     watchdog.daemon = True
     watchdog.start()
+
+    # The axon tunnel has outage modes where backend init HANGS forever
+    # (jax.devices() never returns). A hung bench wedges the driver; a
+    # bounded failure with a parseable JSON line does not. Healthy init
+    # itself costs ~120 s on the tunnel, hence the 240 s bound.
+    def _probe_timed_out():
+        state["error"] = "device probe timed out after 240s (tunnel outage)"
+        emit()
+        os._exit(3)
+
+    probe_wd = threading.Timer(240.0, _probe_timed_out)
+    probe_wd.daemon = True
+    probe_wd.start()
     n_dev = len(jax.devices())  # may hang on a dead tunnel
-    watchdog.cancel()
+    probe_wd.cancel()
     assert n_dev >= 1
+    extras["_section_s"]["device_probe"] = round(time.monotonic() - t_start, 1)
 
-    clips_s = bench_tokenizer(batch_size=args.batch_size, iters=args.iters)
-    flops_clip = tokenizer_flops_per_clip()
-    achieved_tflops = clips_s * flops_clip / 1e12
-    extras = {
-        "tflops_per_clip": round(flops_clip / 1e12, 3),
-        "achieved_tflops": round(achieved_tflops, 1),
-        "mfu_vs_v5e_peak": round(achieved_tflops / V5E_BF16_TFLOPS, 3),
-    }
+    # bench geometry: emit batch 8, cfg_scale 1.5 doubles cache rows to
+    # 16; avg live prefix over 1024 steps ~= 512
+    def hbm_util(tok_s, wbytes, emit_b=8, cache_b=16, cache_bytes=2.0):
+        bpt = ar_decode_bytes_per_token(emit_b, cache_b, 512.0, wbytes,
+                                        cache_bytes_per_elem=cache_bytes)
+        return round(tok_s * bpt / 1e9, 1)
+
+    # ---- sections, cheapest-first: tokenizer fwd -> AR serving ladder ->
+    # GQA -> speculative -> training steps. Each mutates `extras`.
+    def sec_tokenizer():
+        clips_s = bench_tokenizer(batch_size=args.batch_size,
+                                  iters=args.iters)
+        flops_clip = tokenizer_flops_per_clip()
+        achieved_tflops = clips_s * flops_clip / 1e12
+        state["value"] = round(clips_s, 2)
+        state["vs_baseline"] = (
+            round(clips_s / baseline, 2) if baseline else None
+        )
+        extras["tflops_per_clip"] = round(flops_clip / 1e12, 3)
+        extras["achieved_tflops"] = round(achieved_tflops, 1)
+        extras["mfu_vs_v5e_peak"] = round(
+            achieved_tflops / V5E_BF16_TFLOPS, 3
+        )
+
+    def sec_ar_bf16():
+        tok_s = bench_ar_sampling()
+        extras["ar_tokens_per_s"] = round(tok_s, 1)
+        extras["ar_hbm_gbps"] = hbm_util(tok_s, 2.0)
+
+    def sec_ar_int8():
+        tok_s8 = bench_ar_sampling(int8=True)
+        extras["ar_tokens_per_s_int8"] = round(tok_s8, 1)
+        extras["ar_hbm_gbps_int8"] = hbm_util(tok_s8, 1.0)
+
+    def sec_ar_int8_kv():
+        tok_s8kv = bench_ar_sampling(int8=True, int8_kv=True)
+        extras["ar_tokens_per_s_int8_kv"] = round(tok_s8kv, 1)
+        extras["ar_hbm_gbps_int8_kv"] = hbm_util(tok_s8kv, 1.0,
+                                                 cache_bytes=1.0)
+
+    def sec_ar_b32():
+        # batch-scaled serving: b=32 amortizes the per-step weight read
+        # over 4x the emitted tokens (sample.py --batch_size 32)
+        tok = bench_ar_sampling(batch_size=32, int8=True, int8_kv=True)
+        extras["ar_tokens_per_s_int8_kv_b32"] = round(tok, 1)
+        extras["ar_hbm_gbps_int8_kv_b32"] = hbm_util(
+            tok, 1.0, emit_b=32, cache_b=64, cache_bytes=1.0
+        )
+
+    def sec_ar_gqa():
+        # GQA zoo geometry (n_kv_head = n_head/4): the flash-decode
+        # kernel's grouped-KV path, which also cuts cache traffic 4x
+        tok_gqa = bench_ar_sampling(n_kv_head=5)
+        extras["ar_tokens_per_s_gqa4"] = round(tok_gqa, 1)
+        tok_gqa8kv = bench_ar_sampling(n_kv_head=5, int8=True, int8_kv=True)
+        extras["ar_tokens_per_s_gqa4_int8_kv"] = round(tok_gqa8kv, 1)
+
+    def sec_spec():
+        # speculative ceiling: ~60M draft + ONE chunk verify per gamma
+        # proposals; acceptance ~1.0 by construction (uniform heads).
+        # int8 weights on BOTH models: the spec line races the best
+        # plain serving line (ar_tokens_per_s_int8_kv) on equal terms
+        tok_spec, acc = bench_speculative(int8=True, int8_kv=True)
+        extras["ar_tokens_per_s_spec_int8_kv"] = round(tok_spec, 1)
+        extras["spec_acceptance"] = round(acc, 3)
+
+    def sec_spec_floor():
+        # measured sub-1.0 acceptance FLOOR: independent sharpened heads
+        # (a trained draft is strictly more correlated than noise);
+        # same compiled program as sec_spec (only init values differ)
+        tok_floor, acc_floor = bench_speculative(int8=True, int8_kv=True,
+                                                 head_std=0.11)
+        extras["ar_tokens_per_s_spec_floor"] = round(tok_floor, 1)
+        extras["spec_acceptance_floor"] = round(acc_floor, 3)
+
+    def sec_spec_trained():
+        # MEASURED acceptance from a draft distilled on-device against the
+        # floor line's sharp-head target (tools/distill_draft.py). Compare
+        # spec_acceptance_floor (same target, untrained draft).
+        tok_tr, acc_tr, st = bench_spec_trained()
+        extras["ar_tokens_per_s_spec_trained"] = round(tok_tr, 1)
+        extras["spec_acceptance_trained"] = round(acc_tr, 3)
+        extras["spec_distill"] = st
+
+    def sec_spec_self8():
+        # self-speculative early exit (sample.py --self_draft_layers 8):
+        # shared residual prefix + head -> intermediate acceptance
+        tok_self, acc_self = bench_speculative(int8=True, int8_kv=True,
+                                               head_std=0.11,
+                                               self_draft_layers=8)
+        extras["ar_tokens_per_s_spec_self8"] = round(tok_self, 1)
+        extras["spec_acceptance_self8"] = round(acc_self, 3)
+
+    def sec_train_tokenizer():
+        # the product is training; README claims must be driver-auditable
+        tr_clips = bench_train_tokenizer(batch_size=args.batch_size)
+        tr_flops = gan_train_flops_per_clip()
+        extras["train_clips_per_s"] = round(tr_clips, 2)
+        extras["train_tflops_per_clip"] = round(tr_flops / 1e12, 3)
+        extras["train_mfu"] = round(
+            tr_clips * tr_flops / 1e12 / V5E_BF16_TFLOPS, 3
+        )
+
+    def sec_train_ar():
+        ar_tok = bench_train_ar(batch_size=args.batch_size)
+        ar_flops = ar_train_flops_per_token()
+        extras["ar_train_tokens_per_s"] = round(ar_tok, 1)
+        extras["ar_train_mfu"] = round(
+            ar_tok * ar_flops / 1e12 / V5E_BF16_TFLOPS, 3
+        )
+
+    sections = [("tokenizer", sec_tokenizer)]
     if not args.skip_ar:
-        # bench geometry: emit batch 8, cfg_scale 1.5 doubles cache rows to
-        # 16; avg live prefix over 1024 steps ~= 512
-        def hbm_util(tok_s, wbytes):
-            bpt = ar_decode_bytes_per_token(8, 16, 512.0, wbytes)
-            return round(tok_s * bpt / 1e9, 1)
-
-        try:
-            tok_s = bench_ar_sampling()
-            extras["ar_tokens_per_s"] = round(tok_s, 1)
-            extras["ar_hbm_gbps"] = hbm_util(tok_s, 2.0)
-            tok_s8 = bench_ar_sampling(int8=True)
-            extras["ar_tokens_per_s_int8"] = round(tok_s8, 1)
-            extras["ar_hbm_gbps_int8"] = hbm_util(tok_s8, 1.0)
-            tok_s8kv = bench_ar_sampling(int8=True, int8_kv=True)
-            extras["ar_tokens_per_s_int8_kv"] = round(tok_s8kv, 1)
-            extras["ar_hbm_gbps_int8_kv"] = round(
-                tok_s8kv * ar_decode_bytes_per_token(
-                    8, 16, 512.0, 1.0, cache_bytes_per_elem=1.0
-                ) / 1e9, 1,
-            )
-        except Exception as e:
-            extras["ar_tokens_per_s_error"] = str(e)
-        try:
-            # batch-scaled serving: b=32 amortizes the per-step weight read
-            # over 4x the emitted tokens (sample.py --batch_size 32)
-            tok_s8kv32 = bench_ar_sampling(batch_size=32, int8=True,
-                                           int8_kv=True)
-            extras["ar_tokens_per_s_int8_kv_b32"] = round(tok_s8kv32, 1)
-            extras["ar_hbm_gbps_int8_kv_b32"] = round(
-                tok_s8kv32 * ar_decode_bytes_per_token(
-                    32, 64, 512.0, 1.0, cache_bytes_per_elem=1.0
-                ) / 1e9, 1,
-            )
-        except Exception as e:
-            extras["ar_b32_error"] = str(e)
-        try:
-            # speculative ceiling: ~60M draft + ONE chunk verify per gamma=4
-            # proposals; acceptance ~1.0 by construction (uniform heads)
-            # int8 weights on BOTH models: the spec line races the best
-            # plain line (ar_tokens_per_s_int8_kv) on equal serving terms
-            tok_spec, acc = bench_speculative(int8=True, int8_kv=True)
-            extras["ar_tokens_per_s_spec_int8_kv"] = round(tok_spec, 1)
-            extras["spec_acceptance"] = round(acc, 3)
-            # measured sub-1.0 acceptance FLOOR: independent sharpened heads
-            # (a trained draft is strictly more correlated than noise)
-            tok_floor, acc_floor = bench_speculative(int8=True, int8_kv=True,
-                                                     head_std=0.11)
-            extras["ar_tokens_per_s_spec_floor"] = round(tok_floor, 1)
-            extras["spec_acceptance_floor"] = round(acc_floor, 3)
-            # self-speculative early exit (sample.py --self_draft_layers 8):
-            # shared residual prefix + head -> intermediate acceptance
-            tok_self, acc_self = bench_speculative(int8=True, int8_kv=True,
-                                                   head_std=0.11,
-                                                   self_draft_layers=8)
-            extras["ar_tokens_per_s_spec_self8"] = round(tok_self, 1)
-            extras["spec_acceptance_self8"] = round(acc_self, 3)
-        except Exception as e:
-            extras["ar_spec_error"] = str(e)
-        try:
-            # GQA zoo geometry (n_kv_head = n_head/4): the flash-decode
-            # kernel's grouped-KV path, which also cuts cache traffic 4x
-            tok_gqa = bench_ar_sampling(n_kv_head=5)
-            extras["ar_tokens_per_s_gqa4"] = round(tok_gqa, 1)
-            tok_gqa8kv = bench_ar_sampling(n_kv_head=5, int8=True,
-                                           int8_kv=True)
-            extras["ar_tokens_per_s_gqa4_int8_kv"] = round(tok_gqa8kv, 1)
-        except Exception as e:
-            extras["ar_gqa_error"] = str(e)
-
-    # --- training-step benchmarks (the product is training; README 13.8
-    # clips/s claim must be driver-auditable — VERDICT r2 #3)
+        sections += [
+            ("ar_bf16", sec_ar_bf16),
+            ("ar_int8", sec_ar_int8),
+            ("ar_int8_kv", sec_ar_int8_kv),
+            ("ar_b32", sec_ar_b32),
+            ("ar_gqa", sec_ar_gqa),
+            ("spec", sec_spec),
+            ("spec_floor", sec_spec_floor),
+            ("spec_self8", sec_spec_self8),
+        ]
     if not args.skip_train:
+        sections += [
+            ("train_tokenizer", sec_train_tokenizer),
+            ("train_ar", sec_train_ar),
+        ]
+    if not args.skip_ar:
+        # last: the distillation budget must never crowd out the required
+        # serving + training lines (the deadline cuts from the tail)
+        sections += [("spec_trained", sec_spec_trained)]
+    only = {s for s in args.sections.split(",") if s}
+    for name, fn in sections:
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
         try:
-            tr_clips = bench_train_tokenizer(batch_size=args.batch_size)
-            tr_flops = gan_train_flops_per_clip()
-            extras["train_clips_per_s"] = round(tr_clips, 2)
-            extras["train_tflops_per_clip"] = round(tr_flops / 1e12, 3)
-            extras["train_mfu"] = round(
-                tr_clips * tr_flops / 1e12 / V5E_BF16_TFLOPS, 3
-            )
+            fn()
         except Exception as e:
-            extras["train_error"] = str(e)
-        try:
-            ar_tok = bench_train_ar(batch_size=args.batch_size)
-            ar_flops = ar_train_flops_per_token()
-            extras["ar_train_tokens_per_s"] = round(ar_tok, 1)
-            extras["ar_train_mfu"] = round(
-                ar_tok * ar_flops / 1e12 / V5E_BF16_TFLOPS, 3
-            )
-        except Exception as e:
-            extras["ar_train_error"] = str(e)
-
-    print(json.dumps({
-        "metric": "tokenizer_encode_decode_throughput",
-        "value": round(clips_s, 2),
-        "unit": "clips/s/chip",
-        "vs_baseline": round(clips_s / baseline, 2) if baseline else None,
-        "extras": extras,
-    }))
+            extras[name + "_error"] = str(e)[:300]
+        extras["_section_s"][name] = round(time.monotonic() - t0, 1)
+        emit()
+    extras["total_wall_s"] = round(time.monotonic() - t_start, 1)
+    emit()
 
 
 if __name__ == "__main__":

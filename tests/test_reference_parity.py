@@ -54,3 +54,29 @@ def test_ar_loss_trajectories_match(tmp_path):
     """Covers the frozen-vae encode, CE loss, and the AdamW minGPT
     decay/no-decay split (weight_decay 0.05 active)."""
     _run_parity(tmp_path, "ar", 4)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference tree not available"
+)
+def test_gan_loss_trajectories_match(tmp_path):
+    """VERDICT r3 #3: the GAN half of the flagship trainer, live from step
+    one — discriminator update (hinge), LeCam EMA regularization
+    (lecam_weight 1.0 neutralizes the reference's double weighting, see
+    harness), adopt_weight epoch gating, and d_update_freq=2 (D updates on
+    even 1-indexed steps only). Both G and D trajectories (d_loss,
+    d_total_loss, logits_real/fake, g_loss) asserted at 1% against the
+    ACTUAL reference trainer run from converted init (discriminator weights
+    converted too — convert_lpips_disc_loss)."""
+    _run_parity(tmp_path, "gan_hinge", 6)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference tree not available"
+)
+def test_gan_ns_smooth_trajectories_match(tmp_path):
+    """The ns_smooth GAN path: the reference's stochastic one-side label
+    smoothing draws torch randn per step; the harness records those draws
+    and replays them through our (eager) step, so the trajectories are
+    deterministic and comparable at 1%."""
+    _run_parity(tmp_path, "gan_ns", 4)

@@ -296,6 +296,52 @@ class TestSpeculativeGenerate:
         )
         assert 0.0 <= acc_self <= 1.0
 
+    def test_distill_draft_improves_soft_ce(self):
+        """The bench's spec_trained section (tools/distill_draft.py): a few
+        distillation steps on a tiny pair must run end-to-end, return bf16
+        draft params consumable by bench_speculative(draft_params=...), and
+        not increase the soft-CE."""
+        import sys
+
+        sys.path.insert(0, "tools")
+        import bench
+        from distill_draft import distill
+
+        common = dict(vocab_size=32, num_classes=101, max_seq_len=32,
+                      token_dropout_p=0.0, resid_dropout_p=0.0,
+                      ffn_dropout_p=0.0, class_dropout_prob=0.0)
+        target = LARP_AR(ModelArgs(n_layer=2, n_head=2, dim=64, **common))
+        draft = LARP_AR(ModelArgs(n_layer=1, n_head=2, dim=64, **common))
+        idx = jnp.zeros((2, 4), jnp.int32)
+        cond = jnp.zeros((2,), jnp.int32)
+        tv = target.init({"params": jax.random.PRNGKey(0)}, idx, cond)
+        dv = draft.init({"params": jax.random.PRNGKey(1)}, idx, cond)
+        tv = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), tv)
+        dv = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), dv)
+        # zero-init head -> uniform teacher -> zero gradient; sharpen it
+        # (exactly what bench_spec_trained's head_std target does)
+        p = dict(tv["params"])
+        out = dict(p["output"])
+        out["kernel"] = 0.5 * jax.random.normal(
+            jax.random.PRNGKey(7), out["kernel"].shape, jnp.bfloat16
+        )
+        p["output"] = out
+        tv = {"params": p}
+        trained, stats = distill(
+            target, tv, draft, dv, jax.random.PRNGKey(2),
+            steps=8, batch=2, seq_len=32, lr=1e-2, log=lambda *a: None,
+        )
+        # a sharpened teacher must pull the uniform draft strictly down
+        assert stats["last_loss"] < stats["first_loss"]
+        tok_s, acc = bench.bench_speculative(
+            batch_size=2, new_tokens=8, gamma=2,
+            target_kw=dict(n_layer=2, n_head=2, dim=64, vocab_size=32,
+                           max_seq_len=32),
+            draft_kw=dict(n_layer=1, n_head=2, dim=64),
+            draft_params=trained, int8=True,
+        )
+        assert tok_s > 0 and 0.0 <= acc <= 1.0
+
     def test_frame_prediction_mode(self):
         """Frame-prediction prompts ([B, T] token conditioning) ride the
         same machinery; greedy must match generate."""

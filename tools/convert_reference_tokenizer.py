@@ -156,6 +156,46 @@ def convert_larp_tokenizer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def convert_lpips_disc_loss(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference VQLPIPSWithDiscriminator state dict -> our loss module's
+    variables {"params": {"discriminator": ...}, "ema": {...}}.
+
+    Maps the TransformerDiscriminator (reference models/loss.py:119-204:
+    patch embed, cls token, fused ViT `transformer_encoder.blocks.{i}`,
+    norm_final, fc head) and the LeCam EMA buffers (loss.py:302-303). The
+    LPIPS (`perceptual_loss.*`) tower is NOT mapped — its torch weights are
+    the external VGG checkpoint, gated offline; callers run with
+    perceptual_weight 0 (tools/reference_parity.py GAN phases) or graft the
+    converted LPIPS separately (tools/convert_lpips.py).
+    """
+    pfx = "discriminator."
+    depth = max(
+        int(k.split(".")[3]) for k in sd
+        if k.startswith(pfx + "transformer_encoder.blocks.")
+    ) + 1
+    w = _t(sd[pfx + "x_embedder.proj.weight"])
+    if w.ndim == 5:
+        x_emb = {"proj": convert_patch_embed3d(sd, pfx + "x_embedder.proj")}
+    else:
+        x_emb = {"proj": convert_video_patch_embed(sd, pfx + "x_embedder.proj")}
+    disc = {
+        "x_embedder": x_emb,
+        "cls_token": _t(sd[pfx + "cls_token"]),
+        "transformer_encoder": convert_vit_stack(
+            sd, pfx + "transformer_encoder", depth
+        ),
+        "norm_final": convert_layernorm(sd, pfx + "norm_final"),
+        "fc": convert_linear(sd, pfx + "fc"),
+    }
+    variables: Dict[str, Any] = {"params": {"discriminator": disc}}
+    if "lecam_ema_real" in sd:
+        variables["ema"] = {
+            "lecam_ema_real": _t(sd["lecam_ema_real"]),
+            "lecam_ema_fake": _t(sd["lecam_ema_fake"]),
+        }
+    return variables
+
+
 def convert_larp_ar(
     sd: Dict[str, np.ndarray], num_classes: int | None = None
 ) -> Dict[str, Any]:

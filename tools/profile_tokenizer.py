@@ -84,11 +84,18 @@ def main():
     wqkv = jax.random.normal(key, (D, 3 * D), jnp.bfloat16) * 0.02
     wo = jax.random.normal(key, (3 * D, D), jnp.bfloat16) * 0.02
 
-    def qkvproj(x, wqkv, wo):
-        return (x @ wqkv) @ wo  # qkv (d->3d) + proj folded (3d->d ~ d->d x3+1)
+    wproj = jax.random.normal(key, (D, D), jnp.bfloat16) * 0.02
 
-    t = timed(qkvproj, (x2, wqkv, wo), it)
-    add("qkv+proj matmuls", t, LAYERS, 2.0 * B * S * (3 * D * D + 3 * D * D))
+    def qkvproj(x, wqkv, wproj):
+        # qkv (d->3d) then out-proj (d->d) as SEPARATE matmuls — the real
+        # block's 4*D^2 FLOPs/layer. (The round-3 folded (D->3D)@(3D->D)
+        # proxy timed 6*D^2 and ran ~50% hot, understating the unattributed
+        # residual — ADVICE r3.)
+        qkv = x @ wqkv
+        return qkv[:, :D] @ wproj
+
+    t = timed(qkvproj, (x2, wqkv, wproj), it)
+    add("qkv+proj matmuls", t, LAYERS, 2.0 * B * S * (3 * D * D + D * D))
 
     # --- MLP (fc1 + exact GELU + fc2), one layer ---------------------------
     w1 = jax.random.normal(key, (D, 4 * D), jnp.bfloat16) * 0.02

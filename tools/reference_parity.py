@@ -90,9 +90,45 @@ TRAIN_KEYS = {
     "max_epoch": 2,
 }
 
+# our default (GAN-off) loss args — our arg names
+# (video_tokenizer_tpu/models/loss.py)
+OUR_LOSS_ARGS = {
+    "disc_start": 10**9, "disc_self_start": 10**9,
+    "pixelloss_weight": 1.0, "perceptual_weight": 0.0,
+    "pixel_loss": "l1", "lecam_weight": 0.001,
+    "disc_loss": "ns_smooth", "disc_weight": 0.3,
+    "r1_gp_weight": 0.0, "d_update_freq": 1,
+    "disc_tran_hidden_size": 64, "disc_tran_n_heads": 4,
+    "disc_tran_n_layers": 1, "disc_tran_temporal_patch_size": 4,
+    "disc_tran_patch_size": 8, "input_spatial_size": SIZE,
+    "frame_num": FRAMES,
+}
+
+# GAN phases (VERDICT r3 #3): discriminator live from epoch 0, LeCam ON.
+# lecam_weight 1.0 neutralizes the reference's double application (reference
+# loss.py:425,437 — weight inside AND outside; ours applies it once, loss.py
+# module docstring), so both sides compute d_loss + lecam_reg exactly.
+# hinge exercises d_update_freq=2 (update every 2nd step, reference
+# 1-indexed global_step % 2 == 0); ns_smooth uses freq=1 so every step has
+# one recorded noise draw to replay.
+
+
+def _gan_loss_args(base: dict, disc_loss: str, freq: int) -> dict:
+    return {**base, "disc_start": 0, "disc_self_start": 0,
+            "lecam_weight": 1.0, "disc_loss": disc_loss,
+            "d_update_freq": freq}
+
+
+GAN_VARIANTS = {
+    "gan_hinge": ("hinge", 2),
+    "gan_ns": ("ns_smooth", 1),
+}
+
 # per-step scalars compared (same key names on both sides)
 COMPARED = ["loss", "rec_loss", "loss_q", "loss_commit", "psnr"]
 COMPARED_AR = ["loss"]
+COMPARED_GAN = ["loss", "rec_loss", "g_loss", "psnr", "d_loss",
+                "d_total_loss", "d_lecam_loss", "logits_real", "logits_fake"]
 
 # AR parity config: tiny llama-abs-S over the tiny tokenizer's 16-token /
 # 64-vocab code space. All dropout off (determinism); AdamW with real
@@ -316,7 +352,15 @@ def run_ours_ar(out: str, steps: int):
 # --------------------------------------------------------------------- ref
 
 
-def run_ref(out: str, steps: int):
+def run_ref(out: str, steps: int, loss_args=None, suffix: str = "",
+            record_gan_noise: bool = False):
+    """Record a reference-trainer run. With the default `loss_args` the GAN
+    is gated off (the round-2 harness). GAN phases pass overridden loss args
+    (disc on from epoch 0, LeCam, d_update_freq) and a `suffix` so artifacts
+    coexist; `record_gan_noise=True` additionally captures the torch
+    `randn_like` draws inside ns_d_loss_single_side_smooth (reference
+    loss.py:82-92) so our side can replay the stochastic label smoothing
+    exactly."""
     sys.path.insert(0, os.path.join(HERE, "ref_parity"))
     import refenv
 
@@ -332,7 +376,7 @@ def run_ref(out: str, steps: int):
 
     bt.FVDCalculator = lambda *a, **k: None  # offline: no i3d_torchscript.pt
 
-    save_dir = os.path.join(out, "ref_run")
+    save_dir = os.path.join(out, f"ref_run{suffix}")
     cfg = {
         "trainer": "larp_tokenizer_trainer",
         "env": {"tot_gpus": 1, "port": 0, "cudnn": False,
@@ -346,7 +390,8 @@ def run_ref(out: str, steps: int):
             **MODEL_ARGS,
             "prior_model": {"name": "none", "args": {}},
         }},
-        "loss": {"name": "lpips_disc_loss", "args": dict(REF_LOSS_ARGS)},
+        "loss": {"name": "lpips_disc_loss",
+                 "args": dict(loss_args or REF_LOSS_ARGS)},
         "optimizer": dict(OPTIMIZER),
         "compile": False, "compile_mode": "default",
         "stepwise_logging": False,
@@ -364,7 +409,25 @@ def run_ref(out: str, steps: int):
 
     init_sd = {k: v.detach().cpu().numpy()
                for k, v in t.orig_model.state_dict().items()}
-    np.savez(os.path.join(out, "init_sd.npz"), **init_sd)
+    np.savez(os.path.join(out, f"init_sd{suffix}.npz"), **init_sd)
+    np.savez(os.path.join(out, f"init_loss_sd{suffix}.npz"),
+             **{k: v.detach().cpu().numpy()
+                for k, v in t.loss.state_dict().items()})
+
+    noise_rec = []
+    if record_gan_noise:
+        def recording_ns_smooth(logits_real, logits_fake):
+            rn = torch.randn_like(logits_real)
+            fn_ = torch.randn_like(logits_fake)
+            noise_rec.append((rn.detach().cpu().numpy(),
+                              fn_.detach().cpu().numpy()))
+            real_target = (1.0 - rn.abs() * 0.15).clamp_min(0.7)
+            fake_target = (fn_.abs() * 0.15).clamp_max(0.3)
+            bce = torch.nn.functional.binary_cross_entropy_with_logits
+            return (bce(logits_real, real_target)
+                    + bce(logits_fake, fake_target))
+
+        t.loss.disc_loss = recording_ns_smooth
 
     t.n_steps_per_epoch = len(t.train_loader)
     t.max_steps = t.n_steps_per_epoch * cfg["max_epoch"]
@@ -389,38 +452,52 @@ def run_ref(out: str, steps: int):
                 done = True
                 break
 
-    np.savez(os.path.join(out, "batches.npz"),
+    np.savez(os.path.join(out, f"batches{suffix}.npz"),
              **{f"b{i}": b for i, b in enumerate(batches)})
-    with open(os.path.join(out, "ref_info.json"), "w") as f:
+    if record_gan_noise:
+        np.savez(os.path.join(out, f"gan_noise{suffix}.npz"),
+                 **{f"r{i}": r for i, (r, _) in enumerate(noise_rec)},
+                 **{f"f{i}": fk for i, (_, fk) in enumerate(noise_rec)})
+    with open(os.path.join(out, f"ref{suffix}_info.json"), "w") as f:
         json.dump(infos, f, indent=1)
-    print(f"[ref] {len(infos)} steps recorded -> {out}")
+    print(f"[ref{suffix}] {len(infos)} steps recorded -> {out}")
     for i, r in enumerate(infos):
-        print(f"[ref] step {i}: loss={r['loss']:.6f} "
-              f"loss_q={r.get('loss_q', float('nan')):.6f} "
+        print(f"[ref{suffix}] step {i}: loss={r['loss']:.6f} "
+              f"d={r.get('d_loss', float('nan')):.6f} "
               f"psnr={r.get('psnr', float('nan')):.4f}")
 
 
 # -------------------------------------------------------------------- ours
 
 
-def run_ours(out: str, steps: int):
+def run_ours(out: str, steps: int, loss_args=None, suffix: str = "",
+             replay_gan_noise: bool = False):
+    """Replay the recorded reference run through OUR trainer. GAN phases
+    pass overridden loss args + suffix; `replay_gan_noise=True` runs the
+    step EAGERLY (unjitted) and substitutes the reference's recorded
+    randn draws into ns_d_loss_single_side_smooth so the stochastic label
+    smoothing is bit-aligned across frameworks."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    import functools
+
     import numpy as np
 
     sys.path.insert(0, REPO)
     sys.path.insert(0, HERE)
-    from convert_reference_tokenizer import convert_larp_tokenizer
+    from convert_reference_tokenizer import (
+        convert_larp_tokenizer, convert_lpips_disc_loss,
+    )
 
     import video_tokenizer_tpu.models  # noqa: F401
     import video_tokenizer_tpu.data.video_dataset  # noqa: F401
     import video_tokenizer_tpu.trainers  # noqa: F401
     from video_tokenizer_tpu import registry
 
-    save_dir = os.path.join(out, "ours_run")
+    save_dir = os.path.join(out, f"ours_run{suffix}")
     cfg = {
         "trainer": "larp_tokenizer_trainer",
         "save_dir": save_dir, "manualSeed": SEED,
@@ -432,17 +509,8 @@ def run_ours(out: str, steps: int):
         "model": {"name": "larp_tokenizer",
                   "args": {**MODEL_ARGS, "prior_model": None}},
         # our loss arg names (video_tokenizer_tpu/models/loss.py)
-        "loss": {"name": "lpips_disc_loss", "args": {
-            "disc_start": 10**9, "disc_self_start": 10**9,
-            "pixel_weight": 1.0, "perceptual_weight": 0.0,
-            "pixel_loss": "l1", "lecam_weight": 0.001,
-            "disc_loss": "ns_smooth", "disc_weight": 0.3,
-            "r1_gp_weight": 0.0, "d_update_freq": 1,
-            "disc_tran_hidden_size": 64, "disc_tran_n_heads": 4,
-            "disc_tran_n_layers": 1, "disc_tran_temporal_patch_size": 4,
-            "disc_tran_patch_size": 8, "input_spatial_size": SIZE,
-            "frame_num": FRAMES,
-        }},
+        "loss": {"name": "lpips_disc_loss",
+                 "args": dict(loss_args or OUR_LOSS_ARGS)},
         "optimizer": dict(OPTIMIZER),
         **TRAIN_KEYS,
     }
@@ -451,7 +519,7 @@ def run_ours(out: str, steps: int):
     t.make_datasets()
     t.make_model()
 
-    init_sd = dict(np.load(os.path.join(out, "init_sd.npz")))
+    init_sd = dict(np.load(os.path.join(out, f"init_sd{suffix}.npz")))
     converted = convert_larp_tokenizer(init_sd)
     converted = jax.tree_util.tree_map(
         lambda a: np.asarray(a, np.float32), converted
@@ -462,23 +530,72 @@ def run_ours(out: str, steps: int):
 
     t.state["params"] = jax.tree_util.tree_map(jnp.asarray, converted)
 
-    data = np.load(os.path.join(out, "batches.npz"))
-    n = len(data.files)
-    ref_infos = json.load(open(os.path.join(out, "ref_info.json")))
-    infos = []
-    for i in range(min(n, steps)):
-        t.epoch = int(ref_infos[i]["epoch"])
-        t.global_step += 1
-        keys, packed = t.train_step({"gt": data[f"b{i}"]})
-        infos.append(
-            {k: float(v) for k, v in zip(keys, np.asarray(packed).tolist())}
+    loss_sd_path = os.path.join(out, f"init_loss_sd{suffix}.npz")
+    if os.path.exists(loss_sd_path) and any(
+        k.startswith("discriminator.") for k in np.load(loss_sd_path).files
+    ):
+        loss_vars = convert_lpips_disc_loss(dict(np.load(loss_sd_path)))
+        lp = dict(t.state["loss_params"])
+        lp["discriminator"] = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a, np.float32)),
+            loss_vars["params"]["discriminator"],
         )
-    with open(os.path.join(out, "ours_info.json"), "w") as f:
+        t.state["loss_params"] = lp
+        if "ema" in loss_vars and t.state.get("loss_ema"):
+            t.state["loss_ema"] = {
+                k: jnp.asarray(np.asarray(v, np.float32))
+                for k, v in loss_vars["ema"].items()
+            }
+
+    noise = None
+    if replay_gan_noise:
+        noise = np.load(os.path.join(out, f"gan_noise{suffix}.npz"))
+        # eager step: each call re-executes Python, so the per-step replay
+        # closure below is picked up (a jitted step would bake step-0 noise
+        # into the compiled program)
+        t._train_step = functools.partial(t._step_impl, is_train=True)
+
+    import video_tokenizer_tpu.models.loss as loss_lib
+
+    orig_ns = loss_lib.ns_d_loss_single_side_smooth
+
+    def set_replay(i):
+        rn = jnp.asarray(np.asarray(noise[f"r{i}"], np.float32))
+        fk = jnp.asarray(np.asarray(noise[f"f{i}"], np.float32))
+
+        def replay(logits_real, logits_fake, rng):
+            real_target = jnp.clip(1.0 - jnp.abs(rn) * 0.15, min=0.7)
+            fake_target = jnp.clip(jnp.abs(fk) * 0.15, max=0.3)
+            from video_tokenizer_tpu.models.loss import _bce_logits
+
+            return (_bce_logits(logits_real, real_target)
+                    + _bce_logits(logits_fake, fake_target))
+
+        loss_lib.ns_d_loss_single_side_smooth = replay
+
+    data = np.load(os.path.join(out, f"batches{suffix}.npz"))
+    n = sum(1 for k in data.files if k.startswith("b"))
+    ref_infos = json.load(open(os.path.join(out, f"ref{suffix}_info.json")))
+    infos = []
+    try:
+        for i in range(min(n, steps)):
+            if replay_gan_noise:
+                set_replay(i)
+            t.epoch = int(ref_infos[i]["epoch"])
+            t.global_step += 1
+            keys, packed = t.train_step({"gt": data[f"b{i}"]})
+            infos.append(
+                {k: float(v)
+                 for k, v in zip(keys, np.asarray(packed).tolist())}
+            )
+    finally:
+        loss_lib.ns_d_loss_single_side_smooth = orig_ns
+    with open(os.path.join(out, f"ours{suffix}_info.json"), "w") as f:
         json.dump(infos, f, indent=1)
-    print(f"[ours] {len(infos)} steps -> {out}")
+    print(f"[ours{suffix}] {len(infos)} steps -> {out}")
     for i, r in enumerate(infos):
-        print(f"[ours] step {i}: loss={r['loss']:.6f} "
-              f"loss_q={r.get('loss_q', float('nan')):.6f} "
+        print(f"[ours{suffix}] step {i}: loss={r['loss']:.6f} "
+              f"d={r.get('d_loss', float('nan')):.6f} "
               f"psnr={r.get('psnr', float('nan')):.4f}")
 
 
@@ -486,8 +603,12 @@ def run_ours(out: str, steps: int):
 
 
 def run_compare(out: str, rtol: float, trainer: str = "tokenizer"):
-    suffix = "_ar" if trainer == "ar" else ""
-    keys = COMPARED_AR if trainer == "ar" else COMPARED
+    if trainer == "ar":
+        suffix, keys = "_ar", COMPARED_AR
+    elif trainer in GAN_VARIANTS:
+        suffix, keys = f"_{trainer}", COMPARED_GAN
+    else:
+        suffix, keys = "", COMPARED
     ref = json.load(open(os.path.join(out, f"ref{suffix}_info.json")))
     ours = json.load(open(os.path.join(out, f"ours{suffix}_info.json")))
     n = min(len(ref), len(ours))
@@ -495,11 +616,14 @@ def run_compare(out: str, rtol: float, trainer: str = "tokenizer"):
     worst = {}
     ok = True
     for k in keys:
-        if k not in ref[0] or k not in ours[0]:
+        # per-step presence: the reference only reports d_* keys on steps
+        # where its d-branch ran (epoch/freq gates); compare the overlap
+        steps_both = [i for i in range(n) if k in ref[i] and k in ours[i]]
+        if not steps_both:
             print(f"  [skip] {k} (missing on one side)")
             continue
         rel = []
-        for i in range(n):
+        for i in steps_both:
             a, b = ref[i][k], ours[i][k]
             denom = max(abs(a), abs(b), 1e-6)
             rel.append(abs(a - b) / denom)
@@ -508,7 +632,8 @@ def run_compare(out: str, rtol: float, trainer: str = "tokenizer"):
         status = "OK " if worst[k] <= rtol else "FAIL"
         if worst[k] > rtol:
             ok = False
-        print(f"  [{status}] {k:12s} worst rel {worst[k]:.2e}  per-step: {line}")
+        print(f"  [{status}] {k:12s} worst rel {worst[k]:.2e}  "
+              f"({len(steps_both)} steps)  per-step: {line}")
     print(json.dumps({"parity_ok": ok, "steps": n, "worst_rel": worst}))
     if not ok:
         sys.exit(1)
@@ -520,17 +645,40 @@ def main():
     ap.add_argument("--out", default="/tmp/ref_parity")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--rtol", type=float, default=0.02)
-    ap.add_argument("--trainer", choices=["tokenizer", "ar"],
+    ap.add_argument("--trainer",
+                    choices=["tokenizer", "ar", "gan_hinge", "gan_ns"],
                     default="tokenizer")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    def phase_ref():
+        if args.trainer == "ar":
+            run_ref_ar(args.out, args.steps)
+        elif args.trainer in GAN_VARIANTS:
+            disc_loss, freq = GAN_VARIANTS[args.trainer]
+            run_ref(args.out, args.steps,
+                    loss_args=_gan_loss_args(REF_LOSS_ARGS, disc_loss, freq),
+                    suffix=f"_{args.trainer}",
+                    record_gan_noise=(disc_loss == "ns_smooth"))
+        else:
+            run_ref(args.out, args.steps)
+
+    def phase_ours():
+        if args.trainer == "ar":
+            run_ours_ar(args.out, args.steps)
+        elif args.trainer in GAN_VARIANTS:
+            disc_loss, freq = GAN_VARIANTS[args.trainer]
+            run_ours(args.out, args.steps,
+                     loss_args=_gan_loss_args(OUR_LOSS_ARGS, disc_loss, freq),
+                     suffix=f"_{args.trainer}",
+                     replay_gan_noise=(disc_loss == "ns_smooth"))
+        else:
+            run_ours(args.out, args.steps)
+
     if args.phase == "ref":
-        (run_ref_ar if args.trainer == "ar" else run_ref)(
-            args.out, args.steps)
+        phase_ref()
     elif args.phase == "ours":
-        (run_ours_ar if args.trainer == "ar" else run_ours)(
-            args.out, args.steps)
+        phase_ours()
     elif args.phase == "compare":
         run_compare(args.out, args.rtol, args.trainer)
     else:

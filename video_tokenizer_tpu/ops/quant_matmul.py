@@ -82,6 +82,9 @@ def _w8_matmul_2d(x, w8, scale, block_m: int, block_n: int, out_dtype):
     )(x, w8, scale.reshape(1, N))
 
 
+_warned_fallback = False
+
+
 def w8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array) -> jax.Array:
     """y = x @ (w8 * scale[None, :]) streaming TRUE int8 weight bytes.
 
@@ -105,6 +108,19 @@ def w8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array) -> jax.Array:
         and N % 128 == 0
     )
     if not use_pallas:
+        # correct but hoisting-prone XLA form: the whole point of the int8
+        # serving mode (streaming int8 weight bytes) is lost here — say so
+        # once instead of silently serving at bf16 speed (ADVICE r3)
+        global _warned_fallback
+        if not _warned_fallback and jax.default_backend() == "tpu":
+            import warnings
+
+            warnings.warn(
+                f"w8_matmul: tile-unaligned projection [{K}, {N}] takes the "
+                "XLA weight-dequant fallback — int8 weights will stream at "
+                "bf16 speed for this layer", stacklevel=2,
+            )
+            _warned_fallback = True
         y = jnp.dot(
             x2.astype(jnp.bfloat16), w8.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
@@ -116,9 +132,16 @@ def w8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array) -> jax.Array:
     pad_m = _round_up(M, block_m) - M
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
-    # cap the int8 weight block at ~2 MB so double-buffering stays cheap
+    # largest 128-multiple divisor of N whose int8 block stays <= 4 MB
+    # (double-buffered: 8 MB of the ~128 MB VMEM). The non-power-of-two
+    # candidates matter: the llama SwiGLU hidden 3456 = 27*128 would
+    # otherwise fall through to block_n=128 -> 27 short grid steps per call
+    # (pipeline ramp dominates at decode-sized M). 128 is an unconditional
+    # last resort (N % 128 == 0 is guaranteed by the use_pallas guard).
     block_n = _pick_block(
-        N, [c for c in (1024, 512, 256, 128) if K * c <= 4 * 1024 * 1024]
+        N,
+        [c for c in (1152, 1024, 768, 640, 512, 384, 256)
+         if K * c <= 4 * 1024 * 1024] + [128],
     )
     y = _w8_matmul_2d(
         x2.astype(jnp.bfloat16), w8, scale.astype(jnp.float32),

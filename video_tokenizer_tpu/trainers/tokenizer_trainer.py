@@ -369,10 +369,18 @@ class LARPTokenizerTrainer(BaseTrainer):
             (d_loss, (d_info, new_ema)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
             )(loss_params)
-            should_d = (
-                (epoch >= disc_self_start)
-                & (jnp.mod(step, self.loss_mod.d_update_freq) == 0)
-                & (d_loss > self.loss_mod.d_update_loss_threshold)
+            # reference semantics (larp_tokenizer_trainer.py:263-289): the
+            # d-branch RUNS (and its LeCam EMA advances, loss.py:431) when
+            # epoch/freq allow; the loss threshold additionally gates only
+            # the OPTIMIZER step
+            # step is 0-indexed steps-taken; the reference gates on its
+            # 1-indexed global_step (global_step % freq == 0), so the k-th
+            # train step (k=1,2,...) updates D iff k % freq == 0
+            should_run = (epoch >= disc_self_start) & (
+                jnp.mod(step + 1, self.loss_mod.d_update_freq) == 0
+            )
+            should_d = should_run & (
+                d_loss > self.loss_mod.d_update_loss_threshold
             )
             d_updates, new_opt_d = self.d_tx.update(d_grads, opt_d, loss_params)
             # global-step LR (see configure note): the optimizer runs at
@@ -382,12 +390,12 @@ class LARPTokenizerTrainer(BaseTrainer):
                 lambda u: u * d_lr, d_updates
             )
             cand_params = optax.apply_updates(loss_params, d_updates)
-            sel = lambda n, o: jax.tree_util.tree_map(
-                lambda a, b: jnp.where(should_d, a, b), n, o
+            sel = lambda cond: lambda n, o: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(cond, a, b), n, o
             )
-            loss_params = sel(cand_params, loss_params)
-            opt_d = sel(new_opt_d, opt_d)
-            loss_ema = sel(new_ema, loss_ema)
+            loss_params = sel(should_d)(cand_params, loss_params)
+            opt_d = sel(should_d)(new_opt_d, opt_d)
+            loss_ema = sel(should_run)(new_ema, loss_ema)
         else:
             d_loss, (d_info, _) = d_loss_fn(loss_params)
         info.update(d_info)
@@ -659,11 +667,14 @@ class LARPTokenizerTrainer(BaseTrainer):
         )
 
         # discriminator update from the accumulated grads, gated exactly like
-        # the non-accum step (threshold on the MEAN microbatch d_loss)
-        should_d = (
-            (epoch >= disc_self_start)
-            & (jnp.mod(step, self.loss_mod.d_update_freq) == 0)
-            & (d_loss > self.loss_mod.d_update_loss_threshold)
+        # the non-accum step (threshold on the MEAN microbatch d_loss; the
+        # LeCam EMA advances whenever the d-branch runs — epoch/freq gates —
+        # matching reference larp_tokenizer_trainer.py:263-289 + loss.py:431)
+        should_run = (epoch >= disc_self_start) & (
+            jnp.mod(step + 1, self.loss_mod.d_update_freq) == 0
+        )
+        should_d = should_run & (
+            d_loss > self.loss_mod.d_update_loss_threshold
         )
         d_updates, new_opt_d = self.d_tx.update(
             mean32(d_sum, loss_params0), state["opt_d"], loss_params0
@@ -671,12 +682,12 @@ class LARPTokenizerTrainer(BaseTrainer):
         d_lr = self._d_sched(step)
         d_updates = jax.tree_util.tree_map(lambda u: u * d_lr, d_updates)
         cand_params = optax.apply_updates(loss_params0, d_updates)
-        sel = lambda n, o: jax.tree_util.tree_map(
-            lambda a, b: jnp.where(should_d, a, b), n, o
+        sel = lambda cond: lambda n, o: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(cond, a, b), n, o
         )
-        loss_params = sel(cand_params, loss_params0)
-        opt_d = sel(new_opt_d, state["opt_d"])
-        loss_ema = sel(ema_f, loss_ema0)
+        loss_params = sel(should_d)(cand_params, loss_params0)
+        opt_d = sel(should_d)(new_opt_d, state["opt_d"])
+        loss_ema = sel(should_run)(ema_f, loss_ema0)
 
         g_updates, new_opt_g = self.g_tx.update(
             mean32(g_sum, params0), state["opt_g"], params0
