@@ -40,7 +40,7 @@ import pytest  # noqa: E402
 # (<5 min, the pre-commit hook); full suite runs at round boundaries.
 # Unmeasured (new) tests default to the fast tier until the ledger is
 # regenerated.
-_SLOW_THRESHOLD_S = float(os.environ.get("GATE_SLOW_THRESHOLD", "5.0"))
+_SLOW_THRESHOLD_S = float(os.environ.get("GATE_SLOW_THRESHOLD", "3.0"))
 
 
 def pytest_collection_modifyitems(config, items):

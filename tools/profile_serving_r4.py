@@ -32,9 +32,30 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+_RTT = [0.0]  # measured host<->device round-trip floor (tunnel ~25 ms)
+
+
+def measure_rtt():
+    """One dispatch + scalar fetch of a trivial program: the fixed cost every
+    timed run pays once. On the axon tunnel this is ~25 ms — dividing it
+    across too few scan iterations swamps any sub-ms kernel, so time_scan
+    subtracts it and sizes iters accordingly."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    _RTT[0] = min(ts)
+    print(f"host<->device RTT floor: {_RTT[0] * 1e3:.2f} ms", flush=True)
+
+
 def time_scan(step, carry, iters=64):
     """Time `iters` sequential applications of `step` (carry -> carry)
-    inside ONE jitted scan; returns seconds per application."""
+    inside ONE jitted scan; returns seconds per application, with the
+    measured dispatch/fetch RTT floor subtracted."""
 
     @jax.jit
     def run(carry):
@@ -50,7 +71,7 @@ def time_scan(step, carry, iters=64):
     float(run(carry))  # compile + warmup
     t0 = time.perf_counter()
     float(run(carry))
-    return (time.perf_counter() - t0) / iters
+    return max(time.perf_counter() - t0 - _RTT[0], 0.0) / iters
 
 
 def bench_w8_tiles():
@@ -78,7 +99,7 @@ def bench_w8_tiles():
             return (y[:, :K] if N >= K else
                     jnp.tile(y, (1, (K + N - 1) // N))[:, :K]).astype(c.dtype)
 
-        t = time_scan(step, x)
+        t = time_scan(step, x, iters=2048)
         gbps = K * N / t / 1e9
         mult = {"wqkv": 30, "wo": 30, "w1/w3": 60, "w2": 30, "head": 1}[name]
         total += t * mult
@@ -92,7 +113,7 @@ def bench_w8_tiles():
             return (y[:, :K] if N >= K else
                     jnp.tile(y, (1, (K + N - 1) // N))[:, :K]).astype(c.dtype)
 
-        tb = time_scan(step_b, x)
+        tb = time_scan(step_b, x, iters=2048)
         print(f"        bf16 dense          {tb * 1e6:8.2f} us  "
               f"({2 * K * N / tb / 1e9:6.1f} GB/s bf16)", flush=True)
     print(f"  projection total per decode step: {total * 1e3:.3f} ms "
@@ -161,7 +182,7 @@ def decode_sweep(int8=True, int8_kv=True, batch=8, sample=True):
         t0 = time.perf_counter()
         t = scan_steps(variables, cache, tok, p)
         int(jnp.sum(t))
-        return (time.perf_counter() - t0) / K
+        return max(time.perf_counter() - t0 - _RTT[0], 0.0) / K
 
     positions = [64, 512, 1000]
     times = [time_at(p) for p in positions]
@@ -208,14 +229,26 @@ def spec_pieces():
         toks = jnp.zeros((B, width), jnp.int32)
         pos = jnp.full((B,), 512, jnp.int32)
 
-        def step(carry):
-            cache, toks = carry
-            logits, cache = model.apply(
-                v, toks, pos, cache, None, method=model.decode_chunk)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            return cache, jnp.tile(nxt[:, None], (1, width))
+        # params must be a traced ARGUMENT — closed-over they become HLO
+        # constants and the 632M upload blows the remote-compile body limit
+        iters = 64
 
-        t = time_scan(lambda c: step(c), (cache, toks))
+        @jax.jit
+        def run(v, cache, toks):
+            def body(carry, _):
+                cache, toks = carry
+                logits, cache = model.apply(
+                    v, toks, pos, cache, None, method=model.decode_chunk)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (cache, jnp.tile(nxt[:, None], (1, width))), ()
+            (cache, toks), _ = jax.lax.scan(
+                body, (cache, toks), None, length=iters)
+            return jnp.sum(toks)
+
+        int(run(v, cache, toks))  # compile + warmup
+        t0 = time.perf_counter()
+        int(run(v, cache, toks))
+        t = max(time.perf_counter() - t0 - _RTT[0], 0.0) / iters
         print(f"  {tag:13s} decode_chunk[{width}] : {t * 1e3:7.3f} ms",
               flush=True)
 
@@ -227,6 +260,7 @@ def main():
     ap.add_argument("--skip-sweep", action="store_true")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
+    measure_rtt()
     if not args.skip_tiles:
         bench_w8_tiles()
     if not args.skip_sweep:

@@ -270,6 +270,9 @@ def run_ours_ar(out: str, steps: int):
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     import numpy as np
 
@@ -481,6 +484,11 @@ def run_ours(out: str, steps: int, loss_args=None, suffix: str = "",
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compile cache: the GAN-step compile dominated this phase's
+    # wall time (test-tier contract, VERDICT r3 #8)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     import functools
 

@@ -325,7 +325,10 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
 
 def _chunk_kernel(
     pos_ref,  # scalar prefetch: [B] int32 per-row position of chunk token 0
-    q_ref,  # [rep, bc, G, KV] VMEM — G chunk queries per batch row
+    q_ref,  # [bc, GHp, KV] VMEM — block-diagonal EXPANDED queries: row
+    #         g * H + h holds query (g, h) in the lanes of KV segment
+    #         h // rep, zero elsewhere (built in XLA by `_expand_queries`);
+    #         GHp = G * H rounded up to the sublane tile
     pos2d_ref,  # [bc, 128] int32 VMEM — pos broadcast along lanes (the mask
     #             needs pos as a VECTOR per sublane-row; scalar-prefetch
     #             values can't be assembled into one on TPU)
@@ -338,16 +341,34 @@ def _chunk_kernel(
     rep: int,
     bc: int,
     G: int,
+    n_head: int,
     quantized: bool,
     has_bias: bool,
 ):
     """G-token verification attention (speculative decoding) with the same
     live-prefix DMA pipeline as `_decode_kernel`: only ceil((max_pos + G) /
     block_s) cache blocks are fetched, vs the XLA path's full padded cache.
-    Query g of batch row b attends to cache slots <= pos[b] + g. The g loop
-    is a static Python unroll (G is small): each step is exactly the
-    single-token kernel's selector-matmul score/update on the SAME DMA'd
-    K/V block, so VMEM stays flat in G."""
+    Query g of batch row b attends to cache slots <= pos[b] + g.
+
+    Round-4 rewrite: the round-3 kernel unrolled a per-g loop whose body
+    broadcast-multiplied the FULL [bc, block_s, KV] K and V blocks on the
+    VPU (~4 full-width passes per g per block) — measured 1.42 ms per extra
+    chunk position on the 632M/30-layer verify (chunk[5] 9.37 ms vs plain
+    step 2.75 ms, tools/profile_chunk_r4.py), which made speculative lose to
+    the loop it must amortize. Now ALL G x H (query, head) pairs are one
+    batched MXU matmul per block against block-diagonally expanded queries:
+
+        s[b, g*H + h, t] = dot(qexp[b, g*H + h, :], k[b, t, :])
+
+    — exact because qexp row (g, h) is zero outside its own head's lane
+    segment. Scores/probs live [bc, GHp, block_s] (lane-dim softmax), the
+    value side is a second batched matmul p @ v -> [bc, GHp, KV], and the
+    per-head output extraction is one masked sublane reduction at the end.
+    The int8 cache scales fold into the [.., block_s]-thin score/prob
+    planes instead of the full-width K/V blocks. MXU work is H x the
+    algebraic attention FLOPs (each row contracts the full fused-KV width
+    for one head's worth of signal) — a deliberate trade: ~10 us of MXU
+    per block replaces ~200 us of VPU, and the loop stays DMA-bound."""
     rest = list(rest)
     bias_hbm = rest.pop(0) if has_bias else None
     if quantized:
@@ -420,22 +441,18 @@ def _chunk_kernel(
     for c in kv_copy(0, 0):
         c.start()
 
-    KV = k_buf.shape[-1]
-    H = KV // head_dim
-    # bf16 for the VMEM giants — q, the dequantized K/V blocks, the
-    # [rep*bc*block_s, KV] qk product and probs broadcast — so block_s can
-    # be 4x the fp32 version's under the same VMEM (fewer latency-bound
-    # pipeline iterations; this loop measured DMA-latency-bound, not
-    # bandwidth-bound). The selector dots still accumulate fp32 on the MXU
-    # and the [.., H]-narrow softmax statistics stay fp32.
-    q = q_ref[...].astype(jnp.bfloat16)  # [rep, bc, G, KV]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (KV, H), 0)
-    head = jax.lax.broadcasted_iota(jnp.int32, (KV, H), 1)
-    sel = (lane // head_dim == head).astype(jnp.float32)  # [KV, H]
-    sel16 = sel.astype(jnp.bfloat16)
+    KV = k_buf.shape[-1]  # may include pad lanes past the real Hkv * D
+    H = n_head  # query (g, h) rows per g group (REAL heads — KV // head_dim
+    #             would count the 128-alignment pad lanes as extra heads)
+    GHp = q_ref.shape[1]
+    qexp = q_ref[...].astype(jnp.bfloat16)  # [bc, GHp, KV]
+
+    # row r = g * H + h; per-row causal limit pos[b] + g with g = r // H
+    g_row = jax.lax.broadcasted_iota(jnp.int32, (1, GHp, 1), 1) // H
+    limit = pvec[:, :, None] + g_row  # [bc, GHp, 1]
 
     def body(j, carry):
-        m_prev, l_prev, acc = carry  # each [G, rep, bc, ...] stacked over g
+        m_prev, l_prev, acc = carry  # [bc, GHp, 1] x2, [bc, GHp, KV] fp32
         slot = jax.lax.rem(j, 2)
 
         @pl.when(j + 1 < nb)
@@ -447,64 +464,71 @@ def _chunk_kernel(
             c.wait()
         k = k_buf[slot].astype(jnp.bfloat16)  # [bc, block_s, KV]
         v = v_buf[slot].astype(jnp.bfloat16)
+
+        # one batched MXU matmul scores every (g, h) row at once
+        s = jax.lax.dot_general(
+            qexp, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [bc, GHp, block_s]
         if quantized:
-            ks = pick_lanes(ks_buf[slot])[:, :, None]
-            vs = pick_lanes(vs_buf[slot])[:, :, None]
-            k = k * ks.astype(jnp.bfloat16)
-            v = v * vs.astype(jnp.bfloat16)
-
+            # per-cache-row int8 scales fold into the block_s-thin score
+            # plane (not the full-width K block): s_raw * ks[b, t]
+            s = s * pick_lanes(ks_buf[slot])[:, None, :]
+        if has_bias:
+            s = s + pick_lanes(b_buf[slot])[:, None, :]
         k_pos = j * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, block_s, 1), 2
+            jnp.int32, (1, 1, block_s), 2
         )
-        bias = pick_lanes(b_buf[slot])[None, :, :, None] if has_bias else None
+        s = jnp.where(k_pos <= limit, s, DEFAULT_MASK_VALUE)
 
-        m_out, l_out, acc_out = [], [], []
-        for g in range(G):
-            qg = q[:, :, g, :]  # [rep, bc, KV]
-            qk = qg[:, :, None, :] * k[None]  # [rep, bc, block_s, KV] bf16
-            s = jax.lax.dot_general(
-                qk.reshape(rep * bc * block_s, KV), sel16,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(rep, bc, block_s, H) * sm_scale
-            if has_bias:
-                s = s + bias
-            # causal per row: key position <= pos[b] + g
-            limit = (pvec + g)[None, :, :, None]  # [1, bc, 1, 1]
-            s = jnp.where(k_pos <= limit, s, DEFAULT_MASK_VALUE)
+        # online softmax over the block_s LANE dim
+        m_cur = jnp.max(s, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [bc, GHp, block_s] fp32
+        l_new = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
+        if quantized:
+            p = p * pick_lanes(vs_buf[slot])[:, None, :]
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bc, GHp, KV]
+        return m_new, l_new, acc * alpha + pv
 
-            m_cur = jnp.max(s, axis=2, keepdims=True)
-            m_new = jnp.maximum(m_prev[g], m_cur)
-            alpha = jnp.exp(m_prev[g] - m_new)
-            p = jnp.exp(s - m_new)
-            l_out.append(l_prev[g] * alpha + jnp.sum(p, axis=2, keepdims=True))
-            m_out.append(m_new)
-            pb = jax.lax.dot_general(
-                p.astype(jnp.bfloat16).reshape(rep * bc * block_s, H), sel16,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,  # Mosaic: acc must be 32-bit
-            ).astype(jnp.bfloat16).reshape(rep, bc, block_s, KV)
-            # bf16 products, fp32 accumulation over the block_s dim
-            pv = jnp.sum(pb * v[None], axis=2, dtype=jnp.float32)
-            alpha_full = jax.lax.dot_general(
-                alpha[:, :, 0].reshape(rep * bc, H), sel,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(rep, bc, KV)
-            acc_out.append(acc[g] * alpha_full + pv)
-        return (jnp.stack(m_out), jnp.stack(l_out), jnp.stack(acc_out))
-
-    m0 = jnp.full((G, rep, bc, 1, H), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((G, rep, bc, 1, H), jnp.float32)
-    acc0 = jnp.zeros((G, rep, bc, KV), jnp.float32)
+    m0 = jnp.full((bc, GHp, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bc, GHp, 1), jnp.float32)
+    acc0 = jnp.zeros((bc, GHp, KV), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
-    l_full = jax.lax.dot_general(
-        l[:, :, :, 0].reshape(G * rep * bc, H), sel, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(G, rep, bc, KV)
-    # o layout [rep, bc, G, KV] to match q
-    o = jnp.transpose(acc / l_full, (1, 2, 0, 3))
+    acc = acc / l  # [bc, GHp, KV]
+
+    # per-head extraction: row g*H + h owns the lanes of KV segment
+    # h // rep; output r-slice wants h = (l // D) * rep + r. One masked
+    # sublane reduction per rep (once per program, not per block).
+    acc4 = acc[:, : G * H, :].reshape(bc, G, H, KV)
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, KV), 2)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, KV), 3) // head_dim
+    outs = []
+    for r in range(rep):
+        mask_r = (h_iota == seg * rep + r).astype(jnp.float32)
+        outs.append(jnp.sum(acc4 * mask_r, axis=2))  # [bc, G, KV]
+    o = jnp.stack(outs, axis=0)  # [rep, bc, G, KV]
     o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _expand_queries(q, rep, Hkv, D, KV, GHp):
+    """[B, G, H, D] -> block-diagonal [B, GHp, KV] (see `_chunk_kernel`):
+    row g * H + h carries query (g, h) in the lanes of KV segment h // rep,
+    zero elsewhere; rows past G * H and lanes past Hkv * D are zero pad."""
+    B, G, H, _ = q.shape
+    qt = jnp.tile(q, (1, 1, 1, Hkv))  # [B, G, H, Hkv * D]
+    seg = jnp.arange(Hkv * D) // D
+    h = jnp.arange(H)[:, None]
+    qe = jnp.where(
+        (seg[None, :] == h // rep)[None, None], qt, 0
+    ).reshape(B, G * H, Hkv * D)
+    return jnp.pad(
+        qe, ((0, 0), (0, GHp - G * H), (0, KV - Hkv * D))
+    )
 
 
 def _pallas_chunk(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
@@ -515,13 +539,8 @@ def _pallas_chunk(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     rep = H // Hkv
     quantized = k_scale is not None
     pos = jnp.asarray(pos, jnp.int32).reshape(B)
-    # [rep, B, G, KV] query layout (GQA rep folded out, as _pallas_decode);
-    # pad lanes mirror the cache's 128-alignment padding
-    q_in = q.reshape(B, G, Hkv, rep, D).transpose(3, 0, 1, 2, 4).reshape(
-        rep, B, G, Hkv * D
-    )
-    if KV > Hkv * D:
-        q_in = jnp.pad(q_in, ((0, 0), (0, 0), (0, 0), (0, KV - Hkv * D)))
+    GHp = _round_up16(G * H)
+    q_in = _expand_queries(q.astype(jnp.bfloat16), rep, Hkv, D, KV, GHp)
     pos2d = jnp.broadcast_to(pos[:, None], (B, 128))
     has_bias = key_valid is not None
     if has_bias:
@@ -535,7 +554,7 @@ def _pallas_chunk(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
         num_scalar_prefetch=1,
         grid=(B // bc,),
         in_specs=[
-            pl.BlockSpec((rep, bc, G, KV), lambda i, pos_ref: (0, i, 0, 0)),
+            pl.BlockSpec((bc, GHp, KV), lambda i, pos_ref: (i, 0, 0)),
             pl.BlockSpec((bc, 128), lambda i, pos_ref: (i, 0)),
         ]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_hbm,
@@ -553,8 +572,8 @@ def _pallas_chunk(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     )
     kernel = functools.partial(
         _chunk_kernel, sm_scale=sm_scale, block_s=block_s,
-        head_dim=head_dim, rep=rep, bc=bc, G=G, quantized=quantized,
-        has_bias=has_bias,
+        head_dim=head_dim, rep=rep, bc=bc, G=G, n_head=H,
+        quantized=quantized, has_bias=has_bias,
     )
     operands = [pos, q_in, pos2d, k_cache, v_cache]
     if has_bias:
@@ -610,10 +629,23 @@ def chunk_attention(
     bc = batch_chunk or _pick_batch_chunk(B)
     if block_s is None:
         # the loop is DMA-LATENCY bound (measured: ~27 us/block regardless
-        # of block_s), so prefer few, large blocks: bf16 temporaries inside
-        # the kernel keep the per-block working set ~2 bytes/elem, and the
-        # kernel raises its own vmem_limit_bytes past the 16 MB default
-        block_s = _pick_block_s(S, int(16 * (1 << 20)), bc * KV * 2)
+        # of block_s), so prefer few, large blocks under an explicit
+        # working-set budget: raw double-buffered K/V + their bf16 copies
+        # scale with block_s; the fp32 acc and the expanded queries are
+        # fixed. ~80 MB of the 128 MB VMEM (the kernel raises its own
+        # vmem_limit_bytes past the 16 MB scoped default).
+        GHp = _round_up16(G * H)
+        cache_b = jnp.dtype(k_cache.dtype).itemsize
+        unit = (2 * 2 * bc * KV * cache_b  # double-buffered raw K+V
+                + 2 * bc * KV * 2  # bf16 dequant copies of current block
+                + 2 * bc * GHp * 4)  # fp32 scores + probs
+        fixed = bc * GHp * KV * (4 + 2)  # fp32 acc + bf16 qexp
+        budget = 80 * (1 << 20)
+        block_s = 0
+        for bs_c in (512, 384, 288, 256, 192, 128, 64, 32, 16, 8):
+            if S % bs_c == 0 and fixed + unit * bs_c <= budget:
+                block_s = bs_c
+                break
     elif S % block_s != 0:
         raise ValueError(f"block_s={block_s} does not divide S={S}")
     if (not use_pallas or H % Hkv != 0 or KV < Hkv * D or KV % 128 != 0
@@ -733,6 +765,10 @@ def xla_chunk_attention(q, k_cache, v_cache, pos, key_valid=None,
         "bhrgs,bshd->bghrd", probs, vh, preferred_element_type=jnp.float32
     )
     return out.reshape(B, G, H, D).astype(q.dtype)
+
+
+def _round_up16(v: int) -> int:
+    return max(16, ((v + 15) // 16) * 16)
 
 
 def _pick_block_s(S: int, vmem_budget_bytes: int, row_bytes: int) -> int:
