@@ -102,20 +102,105 @@ def bench_model(tag, kw, width, iters, use_xla_chunk=False,
     return t
 
 
+def bench_decode_route(tag, batch, bc, bs, iters=64, pos_v=512):
+    """Plain decode_step with the single-token attention routed through the
+    block-diagonal MXU chunk kernel (G=1) at an explicit (batch_chunk,
+    block_s) — the candidate replacement for _decode_kernel (fewer, larger
+    grid programs at big batch; bf16 temps instead of fp32)."""
+    import video_tokenizer_tpu.models.larp_ar as la
+    import video_tokenizer_tpu.ops.decode_attention as da
+    from video_tokenizer_tpu.models.larp_ar import (
+        LARP_AR, ModelArgs, quantize_params,
+    )
+
+    cfg = ModelArgs(n_layer=30, n_head=20, dim=1280, vocab_size=8192,
+                    num_classes=101, max_seq_len=1024, token_dropout_p=0.0,
+                    resid_dropout_p=0.0, ffn_dropout_p=0.0,
+                    class_dropout_prob=0.0)
+    model = LARP_AR(cfg)
+    B = batch * 2
+    S = 1024 + cfg.cls_token_num
+    idx = jnp.zeros((B, 4), jnp.int32)
+    cond = jnp.zeros((B,), jnp.int32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, idx, cond)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), v["params"])
+    model = LARP_AR(dataclasses.replace(cfg, quantized=True))
+    params = quantize_params(params)
+    v = {"params": params}
+    cache = model.init_cache(B, S, dtype=jnp.int8)
+    tok = jnp.zeros((B, 1), jnp.int32)
+    pos = jnp.int32(pos_v)
+
+    orig = la.decode_attention
+
+    def routed(q, k_cache, v_cache, p, key_valid=None, **kw):
+        if bc is None:
+            return orig(q, k_cache, v_cache, p, key_valid=key_valid, **kw)
+        posv = jnp.broadcast_to(jnp.asarray(p, jnp.int32), (q.shape[0],))
+        out = da.chunk_attention(
+            q[:, None], k_cache, v_cache, posv, key_valid=key_valid,
+            batch_chunk=bc, block_s=bs, **kw)
+        return out[:, 0]
+
+    la.decode_attention = routed
+    try:
+        @jax.jit
+        def run(v, cache, tok):
+            def body(carry, _):
+                cache, tok = carry
+                logits, cache = model.apply(
+                    v, tok, pos, cache, None, method=model.decode_step)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (cache, nxt[:, None]), ()
+            (cache, tok), _ = jax.lax.scan(
+                body, (cache, tok), None, length=iters)
+            return jnp.sum(tok)
+
+        int(run(v, cache, tok))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(run(v, cache, tok))
+            best = min(best, time.perf_counter() - t0)
+        t = max(best - _RTT[0], 0.0) / iters
+    except Exception as e:
+        print(f"  {tag:34s}: FAILED {str(e)[:120]}", flush=True)
+        return
+    finally:
+        la.decode_attention = orig
+    print(f"  {tag:34s}: {t * 1e3:7.3f} ms ({batch / t:7.1f} tok/s)",
+          flush=True)
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--route-only", action="store_true")
+    args = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
     measure_rtt()
-    draft = dict(n_layer=8, n_head=12, dim=768)
-    target = dict(n_layer=30, n_head=20, dim=1280)
-    bench_model("draft  chunk[1] pallas", draft, 1, 256)
-    bench_model("draft  chunk[1] xla", draft, 1, 256, use_xla_chunk=True)
-    bench_model("draft  step (plain path)", draft, 1, 256,
-                use_decode_step=True)
-    bench_model("target chunk[5] pallas", target, 5, 64)
-    bench_model("target chunk[5] xla", target, 5, 64, use_xla_chunk=True)
-    bench_model("target chunk[1] pallas", target, 1, 64)
-    bench_model("target step (plain path)", target, 1, 64,
-                use_decode_step=True)
+    if not args.route_only:
+        draft = dict(n_layer=8, n_head=12, dim=768)
+        target = dict(n_layer=30, n_head=20, dim=1280)
+        bench_model("draft  chunk[1] pallas", draft, 1, 256)
+        bench_model("draft  chunk[1] xla", draft, 1, 256, use_xla_chunk=True)
+        bench_model("draft  step (plain path)", draft, 1, 256,
+                    use_decode_step=True)
+        bench_model("target chunk[5] pallas", target, 5, 64)
+        bench_model("target chunk[5] xla", target, 5, 64, use_xla_chunk=True)
+        bench_model("target chunk[1] pallas", target, 1, 64)
+        bench_model("target step (plain path)", target, 1, 64,
+                    use_decode_step=True)
+    # decode-kernel replacement candidates (None = current _decode_kernel)
+    bench_decode_route("b8  decode current", 8, None, None)
+    bench_decode_route("b8  chunk bc16 bs288", 8, 16, 288)
+    bench_decode_route("b8  chunk bc16 bs384", 8, 16, 384)
+    bench_decode_route("b32 decode current", 32, None, None)
+    bench_decode_route("b32 chunk bc16 bs288", 32, 16, 288)
+    bench_decode_route("b32 chunk bc32 bs192", 32, 32, 192)
+    bench_decode_route("b32 chunk bc64 bs96", 32, 64, 96)
 
 
 if __name__ == "__main__":

@@ -69,9 +69,12 @@ def time_scan(step, carry, iters=64):
         )
 
     float(run(carry))  # compile + warmup
-    t0 = time.perf_counter()
-    float(run(carry))
-    return max(time.perf_counter() - t0 - _RTT[0], 0.0) / iters
+    best = float("inf")
+    for _ in range(3):  # min-of-3: the tunnel RTT has ±20 ms outliers
+        t0 = time.perf_counter()
+        float(run(carry))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - _RTT[0], 0.0) / iters
 
 
 def bench_w8_tiles():
@@ -93,27 +96,34 @@ def bench_w8_tiles():
         w8 = jax.random.randint(key, (K, N), -127, 127, jnp.int8)
         s = jnp.ones((N,), jnp.float32)
 
+        # w8 rides in the CARRY: closed-over it becomes an HLO constant,
+        # and constant-embedded weights measured up to 3x slower than the
+        # argument path the real model takes (wqkv "anomaly", 2026-08-21)
         def step(c):
+            c, w8, s = c
             y = w8_matmul(c, w8, s)
             # keep carry shape: fold back to [M, K] cheaply
-            return (y[:, :K] if N >= K else
-                    jnp.tile(y, (1, (K + N - 1) // N))[:, :K]).astype(c.dtype)
+            c2 = (y[:, :K] if N >= K else
+                  jnp.tile(y, (1, (K + N - 1) // N))[:, :K]).astype(c.dtype)
+            return (c2, w8, s)
 
-        t = time_scan(step, x, iters=2048)
+        t = time_scan(step, (x, w8, s), iters=2048)
         gbps = K * N / t / 1e9
         mult = {"wqkv": 30, "wo": 30, "w1/w3": 60, "w2": 30, "head": 1}[name]
         total += t * mult
         print(f"  {name:6s} [{K:5d}x{N:5d}] {t * 1e6:8.2f} us  "
               f"({gbps:6.1f} GB/s int8)  x{mult}/step", flush=True)
-        # bf16 dense comparison
+        # bf16 dense comparison (weights in the carry, as above)
         wb = w8.astype(jnp.bfloat16)
 
         def step_b(c):
+            c, wb = c
             y = jnp.dot(c, wb, preferred_element_type=jnp.float32)
-            return (y[:, :K] if N >= K else
-                    jnp.tile(y, (1, (K + N - 1) // N))[:, :K]).astype(c.dtype)
+            c2 = (y[:, :K] if N >= K else
+                  jnp.tile(y, (1, (K + N - 1) // N))[:, :K]).astype(c.dtype)
+            return (c2, wb)
 
-        tb = time_scan(step_b, x, iters=2048)
+        tb = time_scan(step_b, (x, wb), iters=2048)
         print(f"        bf16 dense          {tb * 1e6:8.2f} us  "
               f"({2 * K * N / tb / 1e9:6.1f} GB/s bf16)", flush=True)
     print(f"  projection total per decode step: {total * 1e3:.3f} ms "

@@ -54,9 +54,12 @@ def time_tile(M, K, N, block_m, block_n, iters=2048):
         return jnp.float32(c[0, 0])
 
     float(run(x, w8, s))
-    t0 = time.perf_counter()
-    float(run(x, w8, s))
-    return max(time.perf_counter() - t0 - _RTT[0], 0.0) / iters
+    best = float("inf")
+    for _ in range(3):  # min-of-3: the tunnel RTT has ±20 ms outliers
+        t0 = time.perf_counter()
+        float(run(x, w8, s))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - _RTT[0], 1e-9) / iters
 
 
 def main():
@@ -65,7 +68,7 @@ def main():
     M = 16
     for K, N in ((1280, 3840), (1280, 3456), (1280, 1280)):
         print(f"== [{K}x{N}] M={M} ==", flush=True)
-        for bn in (128, 256, 384, 640, 768, 960, 1280, 1920, 3840):
+        for bn in (128, 256, 384, 640, 768, 1152, 1280, 1920, 3840):
             if N % bn:
                 continue
             t = time_tile(M, K, N, 16, bn)

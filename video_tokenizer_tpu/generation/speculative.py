@@ -231,40 +231,77 @@ def speculative_generate(
     out = jnp.zeros((B, N), jnp.int32).at[:, 0].set(tok0)
     n = jnp.ones((B,), jnp.int32)  # committed tokens per row
     last = tok0[:, None].astype(jnp.int32)  # [B, 1] newest committed token
+    last2 = tok0[:, None].astype(jnp.int32)  # [B, 1] token before `last`
+    #   (placeholder on iteration 0, where pn - 1 is a prompt slot)
 
     def dup(x):  # batch-double for CFG (cond rows first, like the caches)
         return jnp.concatenate([x, x], axis=0) if use_cfg else x
 
     def body(carry):
-        t_cache, d_cache, out, n, last, key, iters, acc_num, acc_den = carry
+        (t_cache, d_cache, out, n, last, last2, key, iters,
+         acc_num, acc_den) = carry
         key, k_draft, k_accept, k_fix = jax.random.split(key, 4)
         pn = T + n - 1  # [B] absolute position of `last` (pending input)
         active = n < N
+        gkeys = jax.random.split(k_draft, G)
 
-        # ---- draft G proposals (+1 step to write the last proposal's KV)
+        def q_from(logits):
+            lg = (
+                _cfg_chunk(logits[:, -1:, :], cfg_scale)[:, 0]
+                if use_cfg else logits[:, -1, :]
+            )
+            return sampling_dist(lg, temperature, top_k, top_p,
+                                 sample_logits)
+
+        # ---- draft G proposals with G forwards. The first forward feeds a
+        # WIDTH-2 chunk [last2, last] at [pn - 1, pn]: rewriting pn - 1's
+        # K/V (identical values — same token, same prefix) folds the KV fill
+        # of the previous iteration's last proposal into this forward, so no
+        # (G+1)-th fill-only draft forward is needed (it measured a full
+        # draft-step 0.5 ms per iteration). Iteration 0 has no last2
+        # (pn - 1 is a prompt slot whose K/V must not be re-derived from a
+        # token embedding) -> width-1.
+        def first_w1(d_cache):
+            logits, d_cache = draft_model.apply(
+                draft_variables, dup(last), dup(pn), d_cache, key_valid,
+                method=draft_model.decode_chunk,
+            )
+            return d_cache, q_from(logits)
+
+        def first_w2(d_cache):
+            logits, d_cache = draft_model.apply(
+                draft_variables, dup(jnp.concatenate([last2, last], axis=1)),
+                dup(pn - 1), d_cache, key_valid,
+                method=draft_model.decode_chunk,
+            )
+            return d_cache, q_from(logits)
+
+        d_cache, q1 = jax.lax.cond(iters == 0, first_w1, first_w2, d_cache)
+        d1 = jax.random.categorical(
+            gkeys[0], jnp.log(q1), axis=-1
+        ).astype(jnp.int32)
+
         def draft_step(dc, gk):
             d_cache, cur, g = dc
             logits, d_cache = draft_model.apply(
                 draft_variables, dup(cur), dup(pn + g), d_cache, key_valid,
                 method=draft_model.decode_chunk,
             )
-            lg = (
-                _cfg_chunk(logits, cfg_scale)[:, 0]
-                if use_cfg else logits[:, 0]
-            )
-            qdist = sampling_dist(lg, temperature, top_k, top_p, sample_logits)
+            qdist = q_from(logits)
             nxt = jax.random.categorical(gk, jnp.log(qdist), axis=-1)
             return (d_cache, nxt[:, None].astype(jnp.int32), g + 1), \
                 (qdist, nxt)
 
         (d_cache, _, _), (qs, ds) = jax.lax.scan(
-            draft_step, (d_cache, last, jnp.int32(0)),
-            jax.random.split(k_draft, G + 1),
+            draft_step, (d_cache, d1[:, None], jnp.int32(1)), gkeys[1:]
         )
-        # step j feeds ds[j-1] at pn + j; qs[j]/ds[j] is (q_{j+1}, d_{j+1}).
-        # The last step only fills d_G's KV row — its sample is discarded.
-        d_tok = jnp.swapaxes(ds[:G], 0, 1)  # [B, G] proposals d_1..d_G
-        q_probs = jnp.swapaxes(qs[:G], 0, 1)  # [B, G, V]
+        # scan step j (0-based) feeds d_{j+1} at pn + j + 1 -> (q, d)_{j+2}
+        d_tok = jnp.concatenate(
+            [d1[:, None], jnp.swapaxes(ds, 0, 1)], axis=1
+        )  # [B, G] proposals d_1..d_G
+        q_probs = jnp.concatenate(
+            [q1[:, None], jnp.swapaxes(qs, 0, 1)], axis=1
+        )  # [B, G, V]
 
         # ---- ONE target chunk forward verifies last + all G proposals
         chunk = jnp.concatenate([last, d_tok], axis=1)  # [B, G+1]
@@ -306,22 +343,25 @@ def speculative_generate(
         out = out.at[jnp.arange(B)[:, None], cols].set(
             committed, mode="drop"
         )
-        last_new = jnp.take_along_axis(
-            committed, jnp.clip(c - 1, 0, G)[:, None], axis=1
-        )
-        last = jnp.where((c > 0)[:, None], last_new, last)
+        # the two newest committed tokens, uniformly over c: arr[:, j] is
+        # the token at absolute emission index n - 2 + j, so new last2/last
+        # (indices n + c - 2 / n + c - 1) are arr[:, c] / arr[:, c + 1] —
+        # including the frozen c == 0 (both unchanged) and c == 1 cases
+        arr = jnp.concatenate([last2, last, committed], axis=1)  # [B, G+3]
+        last2 = jnp.take_along_axis(arr, c[:, None], axis=1)
+        last = jnp.take_along_axis(arr, (c + 1)[:, None], axis=1)
         n = n + c
         acc_num = acc_num + jnp.sum(jnp.where(active, a, 0))
         acc_den = acc_den + jnp.sum(jnp.where(active, G, 0))
-        return (t_cache, d_cache, out, n, last, key, iters + 1,
+        return (t_cache, d_cache, out, n, last, last2, key, iters + 1,
                 acc_num, acc_den)
 
-    carry = (t_cache, d_cache, out, n, last, key, jnp.int32(0),
+    carry = (t_cache, d_cache, out, n, last, last2, key, jnp.int32(0),
              jnp.int32(0), jnp.int32(0))
     carry = jax.lax.while_loop(
         lambda c: jnp.min(c[3]) < N, body, carry
     )
-    out, iters, acc_num, acc_den = carry[2], carry[6], carry[7], carry[8]
+    out, iters, acc_num, acc_den = carry[2], carry[7], carry[8], carry[9]
     if return_stats:
         stats = {
             "acceptance_rate": acc_num / jnp.maximum(acc_den, 1),

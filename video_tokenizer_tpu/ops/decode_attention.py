@@ -305,16 +305,20 @@ def _pallas_decode(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
         operands.append(bias)
     if quantized:
         operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+    # GQA rep>1 working sets run slightly past the 16 MB default (16.21 MB
+    # measured at rep=4/bc=16/KV=384 on a v5e) — but ONLY raise the scoped
+    # limit when needed: a blanket 64 MB hint changes Mosaic's scheduling
+    # for the MHA kernel too and measured as part of a ~8% decode
+    # regression r2 -> r3 (A/B 2026-08-21)
+    cp = (pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                               vmem_limit_bytes=64 * (1 << 20))
+          if rep > 1 else
+          pltpu.CompilerParams(dimension_semantics=("arbitrary",)))
     out = _pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rep, B, KV), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # GQA rep>1 working sets run slightly past the 16 MB default
-            # (16.21 MB measured at rep=4/bc=16/KV=384 on a v5e)
-            vmem_limit_bytes=64 * (1 << 20),
-        ),
+        compiler_params=cp,
     )(*operands)
     # [rep, B, Hkv, D] -> [B, H, D] with h = g * rep + r
     return (

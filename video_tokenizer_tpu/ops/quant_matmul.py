@@ -84,6 +84,11 @@ def _w8_matmul_2d(x, w8, scale, block_m: int, block_n: int, out_dtype):
 
 _warned_fallback = False
 
+# None = auto-select; True/False force the Pallas kernel / XLA dot. The
+# serving benches flip this to attribute projection time (tools/
+# profile_serving_r4.py); product code leaves it None.
+_FORCE_PATH = None
+
 
 def w8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array) -> jax.Array:
     """y = x @ (w8 * scale[None, :]) streaming TRUE int8 weight bytes.
@@ -107,6 +112,8 @@ def w8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array) -> jax.Array:
         and K % 128 == 0
         and N % 128 == 0
     )
+    if _FORCE_PATH is not None:
+        use_pallas = use_pallas and _FORCE_PATH
     if not use_pallas:
         # correct but hoisting-prone XLA form: the whole point of the int8
         # serving mode (streaming int8 weight bytes) is lost here — say so
