@@ -29,6 +29,21 @@ V5E_BF16_TFLOPS = 197.0
 B, S, D, H, LAYERS = 8, 3072, 768, 12, 24  # both ViT stacks, [2048p || 1024q]
 PATCH_TOKENS, LATENTS, CODES, BTL = 2048, 1024, 8192, 8
 
+_RTT = [0.0]
+
+
+def measure_rtt():
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    _RTT[0] = min(ts)
+    print(f"RTT floor: {_RTT[0] * 1e3:.2f} ms", flush=True)
+
 
 def timed(fn, args, iters):
     """Chain `iters` applications through a scan (output feeds input) and
@@ -47,9 +62,12 @@ def timed(fn, args, iters):
 
     jfn = jax.jit(chained)
     float(jfn(args))  # compile + warmup
-    t0 = time.perf_counter()
-    float(jfn(args))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(3):  # min-of-3 minus the ~25 ms tunnel RTT floor
+        t0 = time.perf_counter()
+        float(jfn(args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - _RTT[0], 1e-9) / iters
 
 
 def main():
@@ -57,6 +75,7 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
     it = args.iters
+    measure_rtt()
     key = jax.random.PRNGKey(0)
 
     from video_tokenizer_tpu.ops.attention import attention
@@ -145,13 +164,15 @@ def main():
         {"params": key, "vq": jax.random.PRNGKey(1)}, x[:1], train=False
     )
 
-    def fwd(x):
+    # variables ride as an ARGUMENT: closed-over they become HLO constants
+    # and the ~344 MB upload can blow the tunnel's remote-compile body limit
+    def fwd(x, variables):
         out = model.apply(
             variables, x, train=False, rngs={"vq": jax.random.PRNGKey(2)}
         )
         return jnp.clip(out["pred_frames"].astype(x.dtype), 0.0, 1.0)
 
-    t_total = timed(fwd, (x,), it)
+    t_total = timed(fwd, (x, variables), it)
 
     attributed = sum(r["ms_total"] for r in rows)
     total_ms = t_total * 1e3

@@ -95,7 +95,13 @@ def _fwd_kernel(
     block_q, head_dim = q_ref.shape
     qi = pl.program_id(2)
 
-    q = q_ref[...].astype(jnp.float32)
+    # MXU operands stay in the INPUT dtype when it is bf16 — the data
+    # carries no more precision than bf16 anyway, and fp32 MXU passes run
+    # at ~1/4 the bf16 rate (upcasting measured the whole fwd at 51 TF/s,
+    # 26% of peak, on the flagship S=3072 shape). fp32 inputs (CPU parity
+    # tests) keep full-precision dots. Accumulation is fp32 either way.
+    mxu = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[...].astype(mxu)
     num_kb = pl.cdiv(kv_len, block_k)
     # masking is elided entirely for full non-causal unpadded attention —
     # the common tokenizer encode path — saving the per-block VPU mask work
@@ -112,11 +118,11 @@ def _fwd_kernel(
 
     def body(kb, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(mxu)
+        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(mxu)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [block_q, block_k]
+        ) * sm_scale  # [block_q, block_k] fp32
 
         if need_mask:
             k_pos = kb * block_k + jax.lax.broadcasted_iota(
@@ -135,11 +141,11 @@ def _fwd_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        # bf16 probabilities for the p@v MXU pass: p in [0,1], so the
-        # 8-bit-mantissa error is ~1e-3 relative — well inside attention's
-        # tolerance — and halves the matmul input traffic.
+        # probabilities in the MXU dtype for the p@v pass: p in [0,1], so
+        # the 8-bit-mantissa error is ~1e-3 relative — well inside
+        # attention's tolerance — and halves the matmul input traffic.
         acc = acc * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            p.astype(mxu), v,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
@@ -234,8 +240,11 @@ def _bwd_dq_kernel(
     need_mask = causal or has_segments or kv_padded
     block_q, head_dim = q_ref.shape
     qi = pl.program_id(2)
-    q = q_ref[...].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
+    # bf16 MXU operands for bf16 inputs (fp32 runs the MXU at ~1/4 rate);
+    # fp32 accumulation throughout — see _fwd_kernel
+    mxu = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[...].astype(mxu)
+    do = do_ref[...].astype(mxu)
     lse = lse_ref[...].reshape(block_q, 1)
     delta = delta_ref[...].reshape(block_q, 1)
     qseg = qseg_ref[...].reshape(block_q, 1)
@@ -246,8 +255,8 @@ def _bwd_dq_kernel(
     num_kb = pl.cdiv(kv_len, block_k)
 
     def body(kb, dq):
-        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(mxu)
+        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(mxu)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
@@ -267,7 +276,7 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * sm_scale
+        ds = (p * (dp - delta) * sm_scale).astype(mxu)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -292,8 +301,10 @@ def _bwd_dkv_kernel(
     need_mask = causal or has_segments or q_padded
     block_k, head_dim = k_ref.shape
     ki = pl.program_id(2)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    # bf16 MXU operands for bf16 inputs, fp32 accumulation — see _fwd_kernel
+    mxu = jnp.bfloat16 if k_ref.dtype == jnp.bfloat16 else jnp.float32
+    k = k_ref[...].astype(mxu)
+    v = v_ref[...].astype(mxu)
     kseg = kseg_ref[...].reshape(1, block_k)
     k_pos = ki * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1
@@ -302,8 +313,8 @@ def _bwd_dkv_kernel(
 
     def body(qb, carry):
         dk, dv = carry
-        q = q_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[pl.ds(qb * block_q, block_q), :].astype(mxu)
+        do = do_ref[pl.ds(qb * block_q, block_q), :].astype(mxu)
         lse = lse_ref[:, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
         delta = delta_ref[:, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
         s = jax.lax.dot_general(
@@ -323,12 +334,13 @@ def _bwd_dkv_kernel(
         else:
             p = jnp.exp(s - lse)
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(mxu), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * sm_scale
+        ds = (p * (dp - delta) * sm_scale).astype(mxu)
         dk = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
