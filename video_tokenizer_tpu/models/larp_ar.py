@@ -30,7 +30,6 @@ from flax import linen as nn
 from ..ops import sincos
 from ..ops.attention import attention
 from ..ops.decode_attention import _quantize_rows, decode_attention
-from ..ops.quant_matmul import w8_matmul
 from ..registry import models
 from .embed import LabelEmbedder
 
@@ -69,13 +68,13 @@ class ModelArgs:
     # (jax.checkpoint via nn.remat) — trades ~30% step FLOPs for O(n_layer)x
     # less activation memory; for XXL/XXXL training and long sequences.
     remat: bool = False
-    # int8 serving: every projection becomes a QuantDense (kernel int8 +
-    # per-output-channel fp32 scale) computed by the weight-only Pallas
-    # kernel `ops/quant_matmul.py` — the dequant happens in-kernel in VMEM,
-    # so the decode loop streams TRUE int8 weight bytes (both XLA forms
-    # materialize widened weight copies; see the kernel's module docstring
-    # for the measurements). Inference-only: convert a trained checkpoint
-    # with `quantize_params`.
+    # int8 weight-only serving: every projection becomes a QuantDense
+    # (kernel int8 + per-output-channel fp32 scale); XLA fuses the dequant
+    # into the matmul. Decode is bound by weight streaming, so halving the
+    # weight bytes is a measured 1.65x tokens/s over bf16 (see the
+    # QuantDense docstring for the r5 A/B that retired the two alternative
+    # algebras). Inference-only: convert a trained checkpoint with
+    # `quantize_params`.
     quantized: bool = False
 
 
@@ -84,17 +83,26 @@ def _normal_init(std):
 
 
 class QuantDense(nn.Module):
-    """int8 linear (no bias), weight-only: y = x @ (w8 * scale[None, :])
-    via the Pallas kernel `ops.quant_matmul.w8_matmul`, which converts the
-    int8 weight block to bf16 IN VMEM so the decode loop streams true int8
-    weight bytes. Both pure-XLA forms fail to: weight-only dequant gets its
-    loop-invariant convert HOISTED (a bf16 copy streams instead — measured
-    no faster than bf16 serving, tools/profile_decode.py 2026-08-19), and
-    round 2's dynamic w8a8 s8xs8 form measured 176 GB/s effective weight
-    streaming (t_fixed 3.44 ms vs 0.74 ms analytic at b32 — XLA widens the
-    weight inside the loop; pos-sweep fit 2026-08-20). Weight-only also
-    skips the per-row activation-quant VPU work and keeps activations bf16
-    (strictly more accurate). Built by `quantize_params`."""
+    """Weight-only int8 linear (no bias): y = (x @ w8.astype(x.dtype)) * s,
+    with w8 int8 and s the per-output-channel fp32 dequant scale. Matmul
+    math matches nn.Dense (input dtype, e.g. bf16); built by
+    `quantize_params`.
+
+    The plain XLA form is the FASTEST of the three algebras tried across
+    rounds 2-4, settled by an on-chip bisect A/B at identical HEAD
+    (2026-08-21, 632M llama-abs-LP, b=8/CFG/int8-KV, same chip, warm cache):
+
+      * this form (r2):                       3660 tok/s   (b32: 5000)
+      * dynamic w8a8 s8xs8 (r3, b4eca4a):     3378 tok/s
+      * Pallas in-VMEM dequant (r3 snapshot
+        3f8ac7f, `ops/quant_matmul.w8_matmul`): 3000 tok/s (b32: 4613)
+
+    The r3 theory that XLA hoists a bf16 weight copy out of the decode
+    loop (making int8 serve at bf16 speed) is contradicted by both the r2
+    artifact (bf16 2216 vs int8 2819 tok/s) and the A/B above — the scan
+    body re-reads the int8 kernel each step and fuses the convert into the
+    matmul. The two slower algebras shipped without a same-HEAD on-chip
+    A/B; `ops/quant_matmul.py` survives for microbench tooling only."""
 
     features: int
 
@@ -107,7 +115,11 @@ class QuantDense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        return w8_matmul(x, kernel, scale)
+        y = jax.lax.dot_general(
+            x, kernel.astype(x.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+        )
+        return y * scale.astype(y.dtype)
 
 
 def _dense(cfg: "ModelArgs", features: int, kernel_init, name: str):

@@ -1,33 +1,30 @@
-"""Weight-only int8 projection matmul for serving (Pallas), XLA fallback.
+"""Weight-only int8 projection matmul (Pallas) — MICROBENCH TOOLING ONLY.
 
-The int8 serving mode (sample.py --dtype int8; reference serves bf16 only,
-ar/generate.py:105-123) is worth exactly as much as the WEIGHT BYTES the
-decode loop actually streams. Neither obvious XLA form delivers them:
+RETIRED from the serving path (round 5). This kernel shipped in the
+round-3 snapshot as the QuantDense backend on the theory that both XLA
+forms stream widened weight copies; a same-HEAD on-chip bisect A/B
+(2026-08-21, 632M llama-abs-LP b=8 CFG int8-KV) showed the opposite —
+inside the compiled decode scan it is the SLOWEST of the three algebras:
 
-  * `x @ (w8 * scale).astype(bf16)` — the dequant is loop-invariant, so XLA
-    hoists a bf16 copy of every kernel out of the decode loop and streams
-    THAT: int8 weights serve no faster than bf16 (measured on a v5e,
-    tools/profile_decode.py 2026-08-19).
-  * dynamic w8a8 (`round(x/s) @ w8` on the int8 MXU path) keeps int8 bytes
-    in HBM but XLA materializes a widened copy of the weight INSIDE the
-    loop: the b32 int8 decode step measured t_fixed = 3.44 ms against
-    0.74 ms of analytic int8 weight streaming — ~176 GB/s effective, i.e.
-    int8-read + bf16-write + bf16-read traffic (tools/profile_decode.py
-    pos-sweep fit, 2026-08-20).
+  * plain XLA weight-only `x @ w8.astype(bf16) * s`:  3660 tok/s (b32 5000)
+  * dynamic w8a8 s8xs8 (round-3 b4eca4a):             3378 tok/s
+  * this kernel (round-3 snapshot 3f8ac7f):           3000 tok/s (b32 4613)
 
-This kernel makes the dequant un-hoistable and un-materializable: the int8
-block is DMA'd to VMEM by the normal BlockSpec pipeline, converted to bf16
-in-register (EXACT: |q| <= 127 fits bf16's 8 mantissa bits), fed to the MXU
-with fp32 accumulation, and the per-output-channel fp32 scale is applied to
-the accumulator — algebraically identical to dot(x, w8*scale) because scale
-is constant along the contraction. HBM cost per call: K*N int8 bytes + the
-(tiny) activation/output rows, the roofline for this mode.
+The r3 "XLA hoists a bf16 weight copy out of the loop" claim came from
+standalone microbenches, not the real scan: in the decode scan the weights
+are loop-invariant *captured constants* and XLA fuses the int8->bf16
+convert into each step's matmul without materializing a copy (the r2
+artifact already showed int8 1.27x bf16). The standalone per-call shape
+this kernel was tuned on misses the scan-level scheduling (likely cost:
+pallas_call operand staging breaking XLA's fusion/overlap around each of
+the 124 projections per step).
 
-Weight-only replaces round 2's dynamic-w8a8 QuantDense algebra: it streams
-the same int8 bytes, skips the per-row activation quantization VPU work,
-and is strictly MORE accurate (activations stay bf16). models/larp_ar.py's
-`quantize_params` checkpoints are unchanged (kernel int8 [K, N] + fp32
-scale [N]).
+models/larp_ar.py::QuantDense now carries the winning XLA form and the
+full A/B record. This file stays for kernel tooling —
+tools/sweep_w8_tiles.py and tools/profile_serving_r4.py microbench it —
+and as the written-down negative result: a Pallas kernel that wins a
+standalone microbench can still lose end-to-end; only same-HEAD A/Bs in
+the full program count.
 
 Public entry: `w8_matmul(x, w8, scale)` — x [..., K] float, w8 [K, N] int8,
 scale [N] fp32; returns [..., N] in x.dtype.
