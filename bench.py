@@ -90,18 +90,27 @@ def bench_tokenizer(batch_size: int = 8, iters: int = 20, dtype=jnp.bfloat16):
     x = jax.random.uniform(
         jax.random.PRNGKey(0), (batch_size, 3, 16, 128, 128), jnp.float32
     )
-    variables = model.init(
+    # init + randomize under jit: eager Flax init is hundreds of tiny
+    # dispatches (~0.4 s RTT each on the tunnel — it dominated this
+    # section's wall time, round-5 phase trace)
+    variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(1), "vq": jax.random.PRNGKey(2)},
         x[:1], train=False,
     )
+
     # the flagship output layer is zero-init; randomize it so every chained
     # forward sees a distinct, input-dependent tensor
-    variables = jax.tree_util.tree_map(
-        lambda p: p
-        if p.ndim < 2
-        else p + 0.02 * jax.random.normal(jax.random.PRNGKey(9), p.shape, p.dtype),
-        variables,
-    )
+    @jax.jit
+    def _randomize(vs):
+        return jax.tree_util.tree_map(
+            lambda p: p
+            if p.ndim < 2
+            else p + 0.02 * jax.random.normal(
+                jax.random.PRNGKey(9), p.shape, p.dtype),
+            vs,
+        )
+
+    variables = _randomize(variables)
 
     def chained(variables, x, n):
         def body(carry, _):
@@ -315,13 +324,16 @@ def bench_train_ar(batch_size: int = 8, steps: int = 8, model_kw=None,
     z = jax.random.randint(jax.random.PRNGKey(0), (batch_size, seq_len),
                            0, args["vocab_size"])
     cond = jnp.zeros((batch_size,), jnp.int32)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
         z[:, :-1], cond,
     )
-    state = {"params": variables["params"],
-             "opt": tx.init(variables["params"]),
-             "rng": jax.random.PRNGKey(3)}
+    # optimizer-state init jitted too: optax.init is one zeros-like per
+    # moment per leaf — hundreds of eager dispatches on the tunnel
+    state = jax.jit(lambda p: {"params": p, "opt": tx.init(p),
+                               "rng": jax.random.PRNGKey(3)})(
+        variables["params"]
+    )
 
     def train_step(state, z, cond):
         rng, r_drop = jax.random.split(state["rng"])
@@ -355,6 +367,15 @@ def bench_train_ar(batch_size: int = 8, steps: int = 8, model_kw=None,
     return batch_size * seq_len * steps / dt
 
 
+@jax.jit
+def _cast_bf16(tree):
+    """One compiled cast of a whole param tree to bf16 (floats only)."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, tree
+    )
+
+
 def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
                       int8: bool = False, int8_kv: bool = False,
                       n_kv_head=None):
@@ -378,13 +399,15 @@ def bench_ar_sampling(batch_size: int = 8, new_tokens: int = 1024,
     model = LARP_AR(cfg)
     cond = jnp.zeros((batch_size,), jnp.int32)
     idx = jnp.zeros((batch_size, 8), jnp.int32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, idx, cond)
-    variables = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16), variables
+    # init/cast/quantize each as ONE jitted program (eager per-leaf
+    # tree_maps are ~360 tunnel round-trips; round-5 phase trace)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, idx, cond
     )
+    variables = _cast_bf16(variables)
     if int8:
         model = LARP_AR(dataclasses.replace(cfg, quantized=True))
-        variables = {"params": quantize_params(variables["params"])}
+        variables = {"params": jax.jit(quantize_params)(variables["params"])}
     cache_dtype = jnp.int8 if int8_kv else None
 
     key = jax.random.PRNGKey(1)
@@ -449,8 +472,8 @@ def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
     idx = jnp.zeros((batch_size, 8), jnp.int32)
 
     def init(m, seed, head_seed):
-        v = m.init({"params": jax.random.PRNGKey(seed)}, idx, cond)
-        v = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), v)
+        v = jax.jit(m.init)({"params": jax.random.PRNGKey(seed)}, idx, cond)
+        v = _cast_bf16(v)
         if head_std > 0:
             p = dict(v["params"])
             out = dict(p["output"])
@@ -465,7 +488,7 @@ def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
     tv = init(target, 0, 7)
     if int8:
         target = LARP_AR(dataclasses.replace(target.config, quantized=True))
-        tv = {"params": quantize_params(tv["params"])}
+        tv = {"params": jax.jit(quantize_params)(tv["params"])}
     if self_draft_layers > 0:
         draft, dp = self_draft(target, tv["params"], self_draft_layers)
         dv = {"params": dp}
@@ -477,7 +500,7 @@ def bench_speculative(batch_size: int = 8, new_tokens: int = 1024,
             dv = init(draft, 1, 8)  # head_seed differs: independent sharp head
         if int8:
             draft = LARP_AR(dataclasses.replace(draft.config, quantized=True))
-            dv = {"params": quantize_params(dv["params"])}
+            dv = {"params": jax.jit(quantize_params)(dv["params"])}
     cache_dtype = jnp.int8 if int8_kv else None
     kw = dict(gamma=gamma, cfg_scale=1.5, top_k=100, cache_dtype=cache_dtype,
               draft_cache_dtype=cache_dtype, return_stats=True)
@@ -515,8 +538,8 @@ def bench_spec_trained(steps: int = 120, head_std: float = 0.11,
     cond = jnp.zeros((8,), jnp.int32)
 
     # EXACTLY the floor line's target: seed 0, sharp head seed 7
-    tv = target.init({"params": jax.random.PRNGKey(0)}, idx, cond)
-    tv = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), tv)
+    tv = jax.jit(target.init)({"params": jax.random.PRNGKey(0)}, idx, cond)
+    tv = _cast_bf16(tv)
     p = dict(tv["params"])
     out = dict(p["output"])
     out["kernel"] = head_std * jax.random.normal(
@@ -524,8 +547,8 @@ def bench_spec_trained(steps: int = 120, head_std: float = 0.11,
     )
     p["output"] = out
     tv = {"params": p}
-    dv = draft.init({"params": jax.random.PRNGKey(1)}, idx, cond)
-    dv = jax.tree_util.tree_map(lambda p_: p_.astype(jnp.bfloat16), dv)
+    dv = jax.jit(draft.init)({"params": jax.random.PRNGKey(1)}, idx, cond)
+    dv = _cast_bf16(dv)
 
     trained, stats = distill(target, tv, draft, dv, jax.random.PRNGKey(11),
                              steps=steps, batch=8, seq_len=1024, lr=1e-3,
@@ -730,16 +753,14 @@ def main():
 
     # ordering: the deadline cuts from the TAIL, so the lines the round is
     # judged on come first — headline tokenizer, the flagship serving line
-    # (int8+int8 KV), its b32 and speculative multipliers, then the two
-    # TRAINING lines (the heaviest compiles, but required — VERDICT r3 #1),
-    # then the remaining serving ladder and the acceptance-bracket extras.
+    # (int8+int8 KV), then the two TRAINING lines (absent from four rounds
+    # of artifacts; VERDICT r3 #1 / r4 #2 — their cold compiles no longer
+    # dominate now that trainer init is one jitted program), then the b32
+    # and speculative multipliers, the acceptance bracket (floor/self8
+    # share sec_spec's compiled programs), and the remaining ladder.
     sections = [("tokenizer", sec_tokenizer)]
     if not args.skip_ar:
-        sections += [
-            ("ar_int8_kv", sec_ar_int8_kv),
-            ("ar_b32", sec_ar_b32),
-            ("spec", sec_spec),
-        ]
+        sections += [("ar_int8_kv", sec_ar_int8_kv)]
     if not args.skip_train:
         sections += [
             ("train_tokenizer", sec_train_tokenizer),
@@ -747,11 +768,13 @@ def main():
         ]
     if not args.skip_ar:
         sections += [
+            ("ar_b32", sec_ar_b32),
+            ("spec", sec_spec),
+            ("spec_floor", sec_spec_floor),
+            ("spec_self8", sec_spec_self8),
             ("ar_bf16", sec_ar_bf16),
             ("ar_int8", sec_ar_int8),
             ("ar_gqa", sec_ar_gqa),
-            ("spec_floor", sec_spec_floor),
-            ("spec_self8", sec_spec_self8),
             # last: the distillation budget must never crowd out the
             # required serving + training lines
             ("spec_trained", sec_spec_trained),

@@ -120,6 +120,47 @@ class TestDecodeChunk:
                     np.asarray(lb[k], np.float32), atol=1e-6,
                 )
 
+    @pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8])
+    def test_w2_rewrite_preserves_cache_and_logits(self, cache_dtype):
+        """Pins the invariant behind speculative.py's width-2 first draft
+        forward (ADVICE r4): re-feeding the ALREADY-CACHED token `last2` at
+        its own position pn-1 rewrites that cache slot with IDENTICAL K/V
+        (deterministic forward, unchanged prefix), and the new position's
+        logits equal the width-1 path's. A future nondeterministic op in
+        decode_chunk (dropout, stochastic rounding) breaks this loudly."""
+        model, variables = _tiny_ar(3)
+        cond = jnp.array([1, 4])
+        tokA = jnp.array([[7], [11]], jnp.int32)
+        tokB = jnp.array([[3], [29]], jnp.int32)
+        pos1 = jnp.full((2,), 1, jnp.int32)
+
+        cache = model.apply(variables, 2, 12, cache_dtype,
+                            method=model.init_cache)
+        _, cache = model.apply(variables, cond, cache, method=model.prefill)
+        # commit tokA at slot 1 (the previous iteration's last proposal)
+        _, cache1 = model.apply(variables, tokA, pos1, cache,
+                                method=model.decode_chunk)
+        # width-1 reference: feed tokB alone at slot 2
+        ref_logits, _ = model.apply(variables, tokB, pos1 + 1, cache1,
+                                    method=model.decode_chunk)
+        # width-2 rewrite: [tokA, tokB] at [1, 2] over the same cache
+        w2_logits, cache2 = model.apply(
+            variables, jnp.concatenate([tokA, tokB], axis=1), pos1, cache1,
+            method=model.decode_chunk,
+        )
+        np.testing.assert_allclose(
+            np.asarray(w2_logits[:, -1]), np.asarray(ref_logits[:, -1]),
+            atol=2e-5, rtol=2e-5,
+        )
+        for la, lb in zip(cache1, cache2):
+            for k in la:
+                np.testing.assert_array_equal(
+                    np.asarray(la[k])[:, 1] if la[k].shape[0] == 2
+                    else np.asarray(la[k])[1],  # [S,128] scale planes
+                    np.asarray(lb[k])[:, 1] if lb[k].shape[0] == 2
+                    else np.asarray(lb[k])[1],
+                )
+
     def test_chunk_per_row_positions(self):
         """Rows at DIFFERENT positions (the speculative steady state): each
         batch row of a chunked forward == the same row run alone."""

@@ -33,5 +33,8 @@ run probe       120 python -c "import jax; print(jax.devices())" || exit 1
 run kernels     900 python tools/check_attention_tpu.py || exit 1
 run microbench  900 python tools/bench_kernels.py
 run bench      1800 python bench.py
+# record the kernel-tree validation stamp so the pre-commit gate accepts
+# kernel commits made in this tree state (scripts/check_kernel_stamp.py)
+run stamp       600 python tools/record_tpu_validation.py
 echo "=== done; logs in $LOG ==="
 echo "next: update README.md/PARITY.md perf lines from $LOG/bench.log"

@@ -605,6 +605,9 @@ def _pallas_chunk(q, k_cache, v_cache, pos, key_valid, sm_scale, block_s,
     )
 
 
+_warned_chunk_fallback = False
+
+
 def chunk_attention(
     q: jax.Array,
     k_cache: jax.Array,
@@ -650,6 +653,21 @@ def chunk_attention(
             if S % bs_c == 0 and fixed + unit * bs_c <= budget:
                 block_s = bs_c
                 break
+        if block_s == 0 and use_pallas:
+            # a silent XLA fallback once masked a perf bug for a whole
+            # round (see the round-2 incident in the tests' docstrings and
+            # quant_matmul's _warned_fallback) — say it once
+            global _warned_chunk_fallback
+            if not _warned_chunk_fallback:
+                import warnings
+
+                warnings.warn(
+                    f"chunk_attention: no block_s candidate fits the VMEM "
+                    f"budget at S={S} B={B} G={G} KV={KV} — falling back "
+                    "to the full-cache XLA path (slow at long S)",
+                    stacklevel=2,
+                )
+                _warned_chunk_fallback = True
     elif S % block_s != 0:
         raise ValueError(f"block_s={block_s} does not divide S={S}")
     if (not use_pallas or H % Hkv != 0 or KV < Hkv * D or KV % 128 != 0

@@ -115,7 +115,7 @@ class _ARTrainerBase(BaseTrainer):
             dummy = jnp.zeros(
                 (1, 3, self.vae.frame_num, self.vae.input_size, self.vae.input_size)
             )
-            vv = self.vae.init(
+            vv = jax.jit(self.vae.init)(
                 {"params": self.base_key, "vq": self.base_key}, dummy
             )
             self.vae_params = vv["params"]
@@ -151,7 +151,9 @@ class _ARTrainerBase(BaseTrainer):
             dummy_cond = jnp.zeros((B, seq_length + 1), jnp.int32)
         else:
             dummy_cond = jnp.zeros((B,), jnp.int32)
-        variables = self.model.init(
+        # one compiled init program instead of eager op-by-op dispatches
+        # (see tokenizer_trainer.make_model)
+        variables = jax.jit(self.model.init)(
             {"params": self.base_key, "dropout": self.base_key},
             dummy_idx, dummy_cond,
         )

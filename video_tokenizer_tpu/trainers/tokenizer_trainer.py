@@ -92,13 +92,20 @@ class LARPTokenizerTrainer(BaseTrainer):
         )
         dummy = jnp.zeros(sample_shape, jnp.float32)
         k0, k1, k2, k3 = jax.random.split(self.base_key, 4)
-        model_vars = self.model.init({"params": k0, "vq": k1}, dummy, train=True)
+        # init under jit: ONE compiled program per module instead of the
+        # eager op-by-op tracing Flax runs by default — the flagship
+        # G+D+LPIPS init measured ~1100 tiny device dispatches (~500 s over
+        # a high-RTT TPU tunnel, round-5 phase trace); jitted it is one
+        # compile + one execution. Values are identical (same PRNG ops).
+        model_vars = jax.jit(self.model.init, static_argnames=("train",))(
+            {"params": k0, "vq": k1}, dummy, train=True
+        )
         self.model_params = model_vars["params"]
         # BatchNorm bottleneck norms carry running stats (empty otherwise)
         self.model_batch_stats = model_vars.get("batch_stats", {})
-        loss_vars = self.loss_mod.init(
-            {"params": k2, "gan": k3}, dummy, dummy, method=self.loss_mod.initialize
-        )
+        loss_vars = jax.jit(
+            functools.partial(self.loss_mod.init, method="initialize")
+        )({"params": k2, "gan": k3}, dummy, dummy)
         self.loss_params = loss_vars["params"]
         self.loss_ema = loss_vars.get("ema", {})
         self.log(
