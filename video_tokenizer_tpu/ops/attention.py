@@ -163,6 +163,158 @@ def _fwd_kernel(
     lse_ref[...] = (m + jnp.log(l_safe)).reshape(1, block_q)
 
 
+def _fwd_kernel_packed(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
+    *, sm_scale: float, causal: bool, block_k: int, kv_len: int,
+    q_offset: int, has_segments: bool, kv_padded: bool, n_head: int,
+    head_dim: int, rep: int,
+):
+    """Lane-packed forward: q_ref [block_q, H*D], k/v_ref [Sk_p, Hkv*D] —
+    the NATIVE layout the qkv projection produces, so the [B,S,H,D] ->
+    [B,H,S,D] relayout copies the BHSD kernel needs (measured 9.5% of the
+    flagship tokenizer forward, profiles/tokenizer_profile.json r5) never
+    exist. Heads are a static python loop over 64/128-lane slices of the
+    fused dim; each head runs the same online softmax as `_fwd_kernel`.
+    Grid: (B, num_q_blocks). Inference-only (the custom-VJP training path
+    keeps the BHSD kernels + transposes — see _flash_attention_bshd)."""
+    block_q = q_ref.shape[0]
+    qi = pl.program_id(1)
+    mxu = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    num_kb = pl.cdiv(kv_len, block_k)
+    need_mask = causal or has_segments or kv_padded
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    ) + q_offset
+    qseg = qseg_ref[...].reshape(block_q, 1)
+    if causal:
+        max_kpos = (qi + 1) * block_q + q_offset
+        num_kb_eff = jnp.minimum(num_kb, pl.cdiv(max_kpos, block_k))
+    else:
+        num_kb_eff = num_kb
+
+    qall = q_ref[...]
+    for h in range(n_head):
+        q = qall[:, h * head_dim:(h + 1) * head_dim].astype(mxu)
+        g = h // rep  # KV group of this query head
+
+        def body(kb, carry):
+            m_prev, l_prev, acc = carry
+            k = k_ref[pl.ds(kb * block_k, block_k),
+                      g * head_dim:(g + 1) * head_dim].astype(mxu)
+            v = v_ref[pl.ds(kb * block_k, block_k),
+                      g * head_dim:(g + 1) * head_dim].astype(mxu)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            if need_mask:
+                k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
+                mask = k_pos < kv_len
+                if causal:
+                    mask = jnp.logical_and(mask, q_pos >= k_pos)
+                if has_segments:
+                    kseg = kseg_ref[
+                        :, pl.ds(kb * block_k, block_k)
+                    ].reshape(1, block_k)
+                    mask = jnp.logical_and(mask, qseg == kseg)
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(mxu), v,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m, l, acc = jax.lax.fori_loop(
+            0, num_kb_eff, body,
+            (
+                jnp.full((block_q, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((block_q, 1), jnp.float32),
+                jnp.zeros((block_q, head_dim), jnp.float32),
+            ),
+        )
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[:, h * head_dim:(h + 1) * head_dim] = (
+            acc / l_safe
+        ).astype(o_ref.dtype)
+
+
+# K+V VMEM bytes above which the packed forward falls back to the BHSD
+# kernel (whole fused-width K and V live in VMEM per program; v5e has
+# 128 MB VMEM and the scores/acc temporaries need room too)
+_PACKED_KV_VMEM_BUDGET = 48 * (1 << 20)
+
+
+def _flash_fwd_packed(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
+                      block_k, has_segments=True, causal_offset=None):
+    """q: [B,Sq,H,D], k/v: [B,Sk,Hkv,D] (BSHD, the model's native layout).
+    Returns out [B,Sq,H,D]. No relayout: the arrays are bitcast-reshaped to
+    [B,S,heads*D] (free, row-major) and the kernel slices heads in VMEM."""
+    B, Sq, H, D = q.shape
+    Sk, Hkv = k.shape[1], k.shape[2]
+    rep = H // Hkv
+    Sq_p = _round_up(Sq, block_q)
+    Sk_p = _round_up(Sk, block_k)
+    q_offset = causal_offset if causal_offset is not None else Sk - Sq
+
+    q2 = q.reshape(B, Sq, H * D)
+    k2 = k.reshape(B, Sk, Hkv * D)
+    v2 = v.reshape(B, Sk, Hkv * D)
+    if Sq_p != Sq:
+        q2 = jnp.pad(q2, ((0, 0), (0, Sq_p - Sq), (0, 0)))
+    if Sk_p != Sk:
+        k2 = jnp.pad(k2, ((0, 0), (0, Sk_p - Sk), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, Sk_p - Sk), (0, 0)))
+    q_seg = _pad_seg(q_seg, Sq_p, -1)
+    k_seg = _pad_seg(k_seg, Sk_p, -2)
+
+    kernel = functools.partial(
+        _fwd_kernel_packed, sm_scale=sm_scale, causal=causal,
+        block_k=block_k, kv_len=Sk, q_offset=q_offset,
+        has_segments=has_segments, kv_padded=(Sk_p != Sk),
+        n_head=H, head_dim=D, rep=rep,
+    )
+    out = _pallas_call(
+        kernel,
+        grid=(B, Sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, H * D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, Sk_p, Hkv * D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, Sk_p, Hkv * D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((None, 1, Sk_p), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, block_q, H * D), lambda b, i: (b, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Sq_p, H * D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * (1 << 20),
+        ),
+    )(q2, k2, v2, q_seg, k_seg)
+    return out[:, :Sq].reshape(B, Sq, H, D)
+
+
+def _packed_eligible(q, k, block_k) -> bool:
+    B, Sq, H, D = q.shape
+    Sk, Hkv = k.shape[1], k.shape[2]
+    kv_bytes = 2 * _round_up(Sk, block_k) * Hkv * D * q.dtype.itemsize
+    return (
+        (H * D) % 128 == 0
+        and (Hkv * D) % 128 == 0
+        and D % 8 == 0
+        and kv_bytes <= _PACKED_KV_VMEM_BUDGET
+    )
+
+
 def _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q, block_k,
                has_segments=True, causal_offset=None):
     """q: [B,H,Sq,D], k/v: [B,Hkv,Sk,D] (H % Hkv == 0; GQA streams each KV
@@ -457,32 +609,48 @@ def _flash_bwd(res, g, sm_scale, causal, block_q, block_k, has_segments=True):
     return dq[:, :, :Sq], dk, dv, None, None
 
 
+def _sw(x):
+    return jnp.swapaxes(x, 1, 2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _flash_attention_bhsd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
+def _flash_attention_bshd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
                           block_k, has_segments, bwd_block_q, bwd_block_k):
-    out, _ = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
-                        block_k, has_segments)
-    return out
+    """custom_vjp boundary in the model's native BSHD layout.
+
+    The PRIMAL (inference — what jax traces when no grad is taken) uses the
+    lane-packed forward kernel: zero relayout copies, which were 9.5% of
+    the flagship tokenizer forward (profiles/tokenizer_profile.json r5).
+    The VJP forward below keeps the BHSD kernels + transposes so training
+    numerics and cost are unchanged."""
+    if _packed_eligible(q, k, block_k):
+        return _flash_fwd_packed(q, k, v, q_seg, k_seg, sm_scale, causal,
+                                 block_q, block_k, has_segments)
+    out, _ = _flash_fwd(_sw(q), _sw(k), _sw(v), q_seg, k_seg, sm_scale,
+                        causal, block_q, block_k, has_segments)
+    return _sw(out)
 
 
-def _flash_attention_bhsd_fwd(q, k, v, q_seg, k_seg, sm_scale, causal,
+def _flash_attention_bshd_fwd(q, k, v, q_seg, k_seg, sm_scale, causal,
                               block_q, block_k, has_segments,
                               bwd_block_q, bwd_block_k):
-    out, lse = _flash_fwd(q, k, v, q_seg, k_seg, sm_scale, causal, block_q,
-                          block_k, has_segments)
-    return out, (q, k, v, q_seg, k_seg, out, lse)
+    q_t, k_t, v_t = _sw(q), _sw(k), _sw(v)
+    out, lse = _flash_fwd(q_t, k_t, v_t, q_seg, k_seg, sm_scale, causal,
+                          block_q, block_k, has_segments)
+    return _sw(out), (q_t, k_t, v_t, q_seg, k_seg, out, lse)
 
 
-def _flash_attention_bhsd_bwd(sm_scale, causal, block_q, block_k,
+def _flash_attention_bshd_bwd(sm_scale, causal, block_q, block_k,
                               has_segments, bwd_block_q, bwd_block_k, res, g):
     # the backward kernels hold more live VMEM (dk/dv accumulators + full
     # q/do/lse/delta) than the forward — they get their own, smaller blocks
-    return _flash_bwd(
-        res, g, sm_scale, causal, bwd_block_q, bwd_block_k, has_segments
+    dq, dk, dv, _, _ = _flash_bwd(
+        res, _sw(g), sm_scale, causal, bwd_block_q, bwd_block_k, has_segments
     )
+    return _sw(dq), _sw(dk), _sw(dv), None, None
 
 
-_flash_attention_bhsd.defvjp(_flash_attention_bhsd_fwd, _flash_attention_bhsd_bwd)
+_flash_attention_bshd.defvjp(_flash_attention_bshd_fwd, _flash_attention_bshd_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -700,11 +868,7 @@ def attention(
             else q_seg
         )
 
-    q_t = jnp.swapaxes(q, 1, 2)  # BHSD
-    k_t = jnp.swapaxes(k, 1, 2)
-    v_t = jnp.swapaxes(v, 1, 2)
-    out = _flash_attention_bhsd(
-        q_t, k_t, v_t, q_seg, k_seg, scale, causal, block_q, block_k,
+    return _flash_attention_bshd(
+        q, k, v, q_seg, k_seg, scale, causal, block_q, block_k,
         segment_ids is not None, bwd_block_q, bwd_block_k,
     )
-    return jnp.swapaxes(out, 1, 2)
