@@ -44,7 +44,7 @@ def _run_parity(tmp_path, trainer, steps):
     not os.path.isdir(REFERENCE), reason="reference tree not available"
 )
 def test_tokenizer_loss_trajectories_match(tmp_path):
-    _run_parity(tmp_path, "tokenizer", 4)
+    _run_parity(tmp_path, "tokenizer", 3)
 
 
 @pytest.mark.skipif(
@@ -53,7 +53,7 @@ def test_tokenizer_loss_trajectories_match(tmp_path):
 def test_ar_loss_trajectories_match(tmp_path):
     """Covers the frozen-vae encode, CE loss, and the AdamW minGPT
     decay/no-decay split (weight_decay 0.05 active)."""
-    _run_parity(tmp_path, "ar", 4)
+    _run_parity(tmp_path, "ar", 3)
 
 
 @pytest.mark.skipif(
@@ -68,7 +68,7 @@ def test_gan_loss_trajectories_match(tmp_path):
     d_total_loss, logits_real/fake, g_loss) asserted at 1% against the
     ACTUAL reference trainer run from converted init (discriminator weights
     converted too — convert_lpips_disc_loss)."""
-    _run_parity(tmp_path, "gan_hinge", 6)
+    _run_parity(tmp_path, "gan_hinge", 4)
 
 
 @pytest.mark.skipif(
@@ -79,4 +79,4 @@ def test_gan_ns_smooth_trajectories_match(tmp_path):
     smoothing draws torch randn per step; the harness records those draws
     and replays them through our (eager) step, so the trajectories are
     deterministic and comparable at 1%."""
-    _run_parity(tmp_path, "gan_ns", 4)
+    _run_parity(tmp_path, "gan_ns", 3)

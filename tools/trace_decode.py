@@ -97,31 +97,49 @@ def main():
         int(run(*operands))
     print("trace captured", flush=True)
 
-    # ---- parse: op profile by self time
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # ---- parse the chrome-trace export: device "XLA Ops" lane, self time
+    # via an interval stack (the tensorboard plugin's native xplane
+    # converter is incompatible with this image's TF build)
+    import collections
+    import gzip
 
-    xplanes = sorted(glob.glob(
-        args.out + "/plugins/profile/*/*.xplane.pb"))
-    assert xplanes, f"no xplane under {args.out}"
-    data, _ = rtd.xspace_to_tool_data([xplanes[-1]], "op_profile", {})
-    prof = json.loads(data)
-
-    def walk(node, depth=0, out=None):
-        m = node.get("metrics", {})
-        out.append((m.get("rawTime", 0.0), node.get("name", "?"), depth))
-        for ch in node.get("children", []):
-            walk(ch, depth + 1, out)
-        return out
-
-    rows = []
-    root = prof.get("byProgram") or prof.get("byCategory") or {}
-    walk(root, 0, rows)
-    leaf = [r for r in rows if r[0] > 0]
-    leaf.sort(reverse=True)
-    total = leaf[0][0] if leaf else 1.0
-    print(f"== top ops by raw time (root {total:.0f} ps) ==")
-    for t, name, depth in leaf[:40]:
-        print(f"  {t / total * 100:5.1f}%  {'  ' * depth}{name[:90]}")
+    traces = sorted(glob.glob(
+        args.out + "/plugins/profile/*/*.trace.json.gz"))
+    assert traces, f"no trace under {args.out}"
+    tr = json.load(gzip.open(traces[-1]))
+    evs = tr["traceEvents"]
+    lane = {}
+    for e in evs:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lane[(e["pid"], e.get("tid"))] = e["args"]["name"]
+    ops = [e for e in evs if e.get("ph") == "X"
+           and lane.get((e.get("pid"), e.get("tid"))) == "XLA Ops"]
+    ops.sort(key=lambda e: (e["ts"], -e["dur"]))
+    stack, self_us, byid = [], collections.Counter(), {}
+    for e in ops:
+        ts, dur = e["ts"], e["dur"]
+        while stack and ts >= stack[-1][1] - 1e-9:
+            stack.pop()
+        if stack:
+            self_us[id(stack[-1][2])] -= dur
+        self_us[id(e)] += dur
+        byid[id(e)] = e
+        stack.append((ts, ts + dur, e))
+    by_name = collections.Counter()
+    cat_of, long_of = {}, {}
+    for k, us in self_us.items():
+        e = byid[k]
+        by_name[e["name"]] += us
+        cat_of[e["name"]] = e.get("args", {}).get("hlo_category", "?")
+        long_of[e["name"]] = e.get("args", {}).get("long_name", "")
+    total = sum(by_name.values())
+    print(f"== self time by op over {args.iters} steps "
+          f"(total {total / 1e3:.2f} ms, {total / args.iters:.0f} us/step) ==")
+    for name, us in by_name.most_common(30):
+        print(f"  {us / total * 100:5.1f}%  {us / args.iters:7.1f} us/step  "
+              f"[{cat_of[name]}] {name[:60]}")
+        if us / total > 0.04:
+            print(f"          {long_of[name][:180]}")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,22 @@ tools/check_cache_update_tpu.py):
 bench.py carries three lines: the acceptance~1.0 mechanical ceiling,
 a measured sub-1.0 acceptance point (sharpened independent heads), and
 self-speculative early-exit drafting (`--self_draft_layers`).
+
+Crossover acceptance (when speculative beats plain decode): one
+speculative iteration costs a near-constant T_iter (gamma draft forwards +
+one chunk verify) and commits E(a) = (1 - a^(gamma+1)) / (1 - a) tokens
+per row at acceptance rate a. Measured r5, 632M target + 60M draft, both
+int8 weights + int8 KV, gamma=4, b=8/CFG on one v5e: T_iter ~= 7.0 ms
+(fits both endpoints: a~0 -> 1149 tok/s vs 1143 predicted; a~1 ->
+5609 tok/s vs 5714 predicted), plain int8-KV decode = 3659 tok/s. The
+crossover solves E(a*) = 3659 * T_iter / 8 = 3.20 tokens/iteration:
+
+    a* ~= 0.78   (gamma=4, this draft/target pair)
+
+Below ~0.78 acceptance, plain int8-KV decode wins; above it, speculative
+wins, scaling to the 5609 tok/s ceiling at a=1. A production draft
+distilled from the target (tools/distill_draft.py) is the knob that moves
+a; bench.py's `spec_trained` section measures one bounded-budget point.
 """
 from __future__ import annotations
 

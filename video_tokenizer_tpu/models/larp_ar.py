@@ -247,6 +247,14 @@ class Attention(nn.Module):
         rows_k = self._pad_kv_rows(lc, rows_k)
         rows_v = self._pad_kv_rows(lc, rows_v)
         B, T, _ = rows_k.shape
+        # NOTE (r5 A/B, b32 int8-KV on-chip): the [B,1,KV] dynamic-update-
+        # slice lowers as a tile RMW costing ~13 us per buffer (x60 buffers
+        # = 11% of the b32 decode step) — but routing T==1 through the
+        # Pallas windowed writer measured WORSE (46 us/call: its ALIGN+G
+        # window and per-layer launch overhead are sized for speculative
+        # G-chunks, not single rows). Kept XLA; the winning design would
+        # defer all layers' row commits to ONE end-of-step kernel with the
+        # current token's K/V merged into attention in-register.
         out = dict(lc)
         for name, sname, rows in (("k", "ks", rows_k), ("v", "vs", rows_v)):
             if sname in lc:
