@@ -780,6 +780,8 @@ def main():
             ("spec_trained", sec_spec_trained),
         ]
     only = {s for s in args.sections.split(",") if s}
+    import gc
+
     for name, fn in sections:
         if only and name not in only:
             continue
@@ -788,6 +790,12 @@ def main():
             fn()
         except Exception as e:
             extras[name + "_error"] = str(e)[:300]
+        # free section-local device buffers before the next section: the
+        # r5 dress rehearsal measured the speculative ceiling at 3009 tok/s
+        # when run after the training sections vs 5609 in isolation (same
+        # compiled program, same chip) — stale train-state buffers degrade
+        # the next program's HBM layout until collected
+        gc.collect()
         extras["_section_s"][name] = round(time.monotonic() - t0, 1)
         emit()
     extras["total_wall_s"] = round(time.monotonic() - t_start, 1)

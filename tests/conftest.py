@@ -40,7 +40,15 @@ import pytest  # noqa: E402
 # (<5 min, the pre-commit hook); full suite runs at round boundaries.
 # Unmeasured (new) tests default to the fast tier until the ledger is
 # regenerated.
-_SLOW_THRESHOLD_S = float(os.environ.get("GATE_SLOW_THRESHOLD", "3.0"))
+_SLOW_THRESHOLD_S = float(os.environ.get("GATE_SLOW_THRESHOLD", "5.0"))
+
+# Kernel-vs-XLA parity tests stay in the fast gate REGARDLESS of measured
+# duration: they are the pre-commit safety net for ops/ changes (ADVICE r4
+# — a contended ledger regen once pushed them past the threshold, which
+# would have let a kernel commit through with only the smoke test), and
+# two snapshot-landed unvalidated kernel changes cost real serving perf in
+# rounds 3-4. ~75 s extra keeps the gate under its 5-min contract.
+_ALWAYS_FAST = ("test_pallas_interpret.py",)
 
 
 def pytest_collection_modifyitems(config, items):
@@ -53,6 +61,8 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         test_id = "tests/" + item.nodeid.split("tests/")[-1] \
             if "tests/" in item.nodeid else "tests/" + item.nodeid
+        if any(p in test_id for p in _ALWAYS_FAST):
+            continue
         if ledger.get(test_id, 0.0) >= _SLOW_THRESHOLD_S:
             item.add_marker(pytest.mark.slow)
 
